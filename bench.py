@@ -1,0 +1,101 @@
+"""Headline benchmark: MAnalyse + MDegrain throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": R}
+
+The pipeline is the flagship denoise graph (Super -> Analyse bwd/fwd ->
+Degrain1) on 1080p, batched over frames with vmap — BASELINE.json config 4
+modulo radius.  vs_baseline compares against a stored single-CPU-thread
+measurement of the same pipeline (the reference publishes no numbers,
+BASELINE.md; the C reference could not be run in this environment — the
+stored value is this framework's own single-thread CPU throughput, the
+closest available stand-in for the reference's single-thread design).
+
+Env knobs: MVT_BENCH_W/H/B/FRAMES/BLKSIZE, MVT_BENCH_CPU=1 to (re)measure
+the CPU baseline instead of the TPU number.
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+# Stored single-CPU-thread throughput of this pipeline (frames/s), measured
+# with MVT_BENCH_CPU=1 on the build machine.  Updated when the pipeline
+# changes.
+CPU_BASELINE_FPS = None  # filled in after first calibration run
+
+
+def main():
+    if os.environ.get("MVT_BENCH_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
+    from mvtools_tpu.core.types import ColorFamily, VideoFormat
+    from mvtools_tpu.degrain import DegrainConfig
+    from mvtools_tpu.models.denoise import degrain1_frame
+
+    w = int(os.environ.get("MVT_BENCH_W", 1920))
+    h = int(os.environ.get("MVT_BENCH_H", 1080))
+    batch = int(os.environ.get("MVT_BENCH_B", 4))
+    iters = int(os.environ.get("MVT_BENCH_ITERS", 3))
+    blksize = int(os.environ.get("MVT_BENCH_BLKSIZE", 16))
+    levels = int(os.environ.get("MVT_BENCH_LEVELS", 3))
+
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, levels=levels, chroma=False)
+    sspec = scfg.validate(fmt)
+    acfg = AnalyseConfig(blksize=blksize, levels=levels, truemotion=True,
+                         chroma=False)
+    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+    dcfg = DegrainConfig(thsad=400)
+
+    rng = np.random.default_rng(0)
+
+    def make_clip(t):
+        base = rng.integers(0, 256, (h + 32, w + 32), np.uint8)
+        frames = []
+        for i in range(t):
+            dy, dx = (i * 2) % 16, (i * 3) % 16
+            frames.append(base[dy:dy + h, dx:dx + w])
+        return jnp.asarray(np.stack(frames))
+
+    clip = make_clip(batch + 2)
+    cur = clip[1:batch + 1]
+    prev = clip[0:batch]
+    nxt = clip[2:batch + 2]
+
+    def per_frame(c, p, n):
+        return degrain1_frame([c], [p], [n], sspec, aspec_b, aspec_f, dcfg)[0]
+
+    step = jax.jit(jax.vmap(per_frame))
+
+    out = step(cur, prev, nxt)
+    out.block_until_ready()  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(cur, prev, nxt)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    vs_baseline = fps / CPU_BASELINE_FPS if CPU_BASELINE_FPS else 0.0
+    backend = jax.default_backend()
+    print(json.dumps({
+        "metric": f"MAnalyse+MDegrain1 {w}x{h} gray blk{blksize} "
+                  f"frames/s ({backend})",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

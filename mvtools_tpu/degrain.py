@@ -1,0 +1,215 @@
+"""mv.Degrain1-6 equivalent: motion-compensated temporal denoising.
+
+TPU-first redesign of MVDegrains.cpp: instead of a serial per-block loop,
+all blocks' reference patches are gathered at once (vmapped pel-aware
+gathers into the super pyramid), the SAD-driven weights are computed for the
+whole block grid in one shot (DegrainWeight / normaliseWeights
+MVDegrains.h:184-223), the weighted sum runs as one fused elementwise pass
+(Degrain_C MVDegrains.h:31-53), and overlapped blending is the phase-
+decomposed overlap-add of ops.overlap.  Bit-exact against the reference's
+scalar path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.thscd import scale_thscd
+from .core.types import AnalysisMeta, MVField
+from .ops import overlap as overlap_ops
+from .super import Super
+
+I32 = jnp.int32
+I64 = jnp.int64
+
+
+@dataclasses.dataclass(frozen=True)
+class DegrainConfig:
+    """mv.Degrain1-6 parameters (MVDegrains.cpp:475-599)."""
+    thsad: int = 400
+    thsadc: Optional[int] = None     # defaults to thsad
+    plane: int = 4                   # 0 luma, 1/2 chroma, 3 both chroma, 4 all
+    limit: Optional[int] = None      # defaults to pixel max
+    limitc: Optional[int] = None     # defaults to limit
+    thscd1: int = 400                # MV_DEFAULT_SCD1
+    thscd2: int = 130                # MV_DEFAULT_SCD2
+
+
+def _degrain_weight(thsad, block_sad):
+    """DegrainWeight (MVDegrains.h:184-189): 0 if sad >= thsad, else
+    (th-s)*(th+s)*256 / (th^2 + s^2) with double division, truncated."""
+    thsad = _to64(thsad)
+    block_sad = _to64(block_sad)
+    num = ((thsad - block_sad) * (thsad + block_sad) * 256).astype(jnp.float64)
+    den = (thsad * thsad + block_sad * block_sad).astype(jnp.float64)
+    w = (num / den).astype(I32)
+    return jnp.where(block_sad >= thsad, 0, w)
+
+
+def _to64(x):
+    return jnp.asarray(x, I64)
+
+
+def _normalise_weights(wrefs: List[jnp.ndarray]):
+    """normaliseWeights (MVDegrains.h:209-223)."""
+    wsum = jnp.asarray(257, I32)
+    for w in wrefs:
+        wsum = wsum + w
+    scale = 256.0 / wsum.astype(jnp.float64)
+    out = [(w.astype(jnp.float64) * scale).astype(I32) for w in wrefs]
+    wsrc = jnp.asarray(256, I32)
+    for w in out:
+        wsrc = wsrc - w
+    return wsrc, out
+
+
+def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
+                  bsy: int, bsx: int, log_pel: int, pad_x_pel: int,
+                  pad_y_pel: int, sub_x: int = 0, sub_y: int = 0):
+    """Gather one [bsy, bsx] patch per block from a pel-subplane stack.
+
+    block_x/y: per-block unpadded pixel position of the block (luma units
+    pre-shifted by caller for chroma).  mv values in pel units.
+    Matches useBlock's mvpGetPointer addressing (MVDegrains.h:192-206):
+    blx = (block_pos << log_pel) + mv, chroma shifted arithmetically.
+    """
+    def one(bx, by, vx, vy):
+        xa = ((bx << log_pel) + vx) >> sub_x
+        ya = ((by << log_pel) + vy) >> sub_y
+        xa = xa + pad_x_pel
+        ya = ya + pad_y_pel
+        stack_pel = int(round(plane_stack.shape[0] ** 0.5))
+        m = stack_pel - 1
+        lp = max(stack_pel.bit_length() - 1, 0)
+        idx = (xa & m) | ((ya & m) << lp)
+        blk = jax.lax.dynamic_slice(plane_stack, (idx, ya >> lp, xa >> lp),
+                                    (1, bsy, bsx))
+        return blk[0].astype(I32)
+
+    flat = jax.vmap(one)(block_x.reshape(-1), block_y.reshape(-1),
+                         mv_x.reshape(-1), mv_y.reshape(-1))
+    return flat.reshape(*block_x.shape, bsy, bsx)
+
+
+def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
+            mv_fields: Sequence[MVField], meta: AnalysisMeta,
+            cfg: DegrainConfig, usable: Optional[Sequence] = None):
+    """Degrain one frame.
+
+    src_planes: the frame to denoise ([Y] or [Y, U, V]).
+    super_refs: one Super per vector clip, in Backward1, Forward1,
+    Backward2, ... order (the reference's VectorOrder, MVDegrains.h:10-23).
+    mv_fields: matching MVFields.  radius = len(mv_fields) // 2.
+    usable: optional traced bools per ref (default: computed from thSCD).
+    Returns the denoised planes.
+    """
+    radius2 = len(mv_fields)
+    sspec = super_refs[0].spec
+    bits = meta.bits_per_sample
+    pixel_max = (1 << bits) - 1
+    nscd1, nscd2 = scale_thscd(cfg.thscd1, cfg.thscd2, meta, "Degrain")
+    thsadc = cfg.thsadc if cfg.thsadc is not None else cfg.thsad
+    # thSAD normalised to block SAD (MVDegrains.cpp:658-660)
+    thsad = [cfg.thsad * nscd1 // cfg.thscd1,
+             thsadc * nscd1 // cfg.thscd1,
+             thsadc * nscd1 // cfg.thscd1]
+    limit = cfg.limit if cfg.limit is not None else pixel_max
+    limitc = cfg.limitc if cfg.limitc is not None else limit
+    limits = [limit, limitc, limitc]
+    process = [cfg.plane in (0, 4),
+               cfg.plane in (1, 3, 4),
+               cfg.plane in (2, 3, 4)]
+
+    if usable is None:
+        from .core.thscd import is_usable
+        usable = [is_usable(mv, nscd1, nscd2) for mv in mv_fields]
+
+    nbx, nby = meta.blk_x, meta.blk_y
+    bsx, bsy = meta.blk_size_x, meta.blk_size_y
+    ovx, ovy = meta.overlap_x, meta.overlap_y
+    log_pel = {1: 0, 2: 1, 4: 2}[meta.pel]
+    logx = meta.x_ratio_uv.bit_length() - 1
+    logy = meta.y_ratio_uv.bit_length() - 1
+
+    # per-block positions (FakePlaneOfBlocks fpobInit Fakery.c:17-35)
+    by_g, bx_g = jnp.meshgrid(jnp.arange(nby, dtype=I32),
+                              jnp.arange(nbx, dtype=I32), indexing="ij")
+    pos_x = bx_g * (bsx - ovx)
+    pos_y = by_g * (bsy - ovy)
+
+    width_b = (bsx - ovx) * nbx + ovx
+    height_b = (bsy - ovy) * nby + ovy
+
+    out_planes = []
+    nplanes = len(src_planes)
+    for plane in range(nplanes):
+        src = src_planes[plane]
+        if not process[plane]:
+            out_planes.append(src)
+            continue
+        h, w = src.shape
+        src32 = src.astype(I32)
+        p_bsx = bsx >> (logx if plane else 0)
+        p_bsy = bsy >> (logy if plane else 0)
+        p_ovx = ovx >> (logx if plane else 0)
+        p_ovy = ovy >> (logy if plane else 0)
+        p_wb = width_b >> (logx if plane else 0)
+        p_hb = height_b >> (logy if plane else 0)
+        sub_x = logx if plane else 0
+        sub_y = logy if plane else 0
+        pel = sspec.pel
+        hpad_p = sspec.hpad >> sub_x
+        vpad_p = sspec.vpad >> sub_y
+
+        # source blocks: non-overlapped grid positions in the plane
+        sp_x = pos_x >> sub_x
+        sp_y = pos_y >> sub_y
+        zeros = jnp.zeros_like(pos_x)
+        src_stack = src32[None]
+        src_blocks = gather_blocks(src_stack, sp_x, sp_y, zeros, zeros,
+                                   p_bsy, p_bsx, 0, 0, 0)
+
+        # weights + reference blocks per vector clip
+        acc = jnp.full((nby, nbx, p_bsy, p_bsx), 128, I32)
+        wrefs = []
+        ref_blocks = []
+        for r in range(radius2):
+            mv = mv_fields[r]
+            finest = mv.levels[0]
+            w_r = _degrain_weight(thsad[plane], finest.sad)
+            w_r = jnp.where(usable[r], w_r, 0)
+            wrefs.append(w_r.astype(I32))
+            stack = super_refs[r].planes[plane][0]
+            if stack.ndim == 2:
+                stack = stack[None]
+            rb = gather_blocks(stack, pos_x, pos_y, finest.x, finest.y,
+                               p_bsy, p_bsx, log_pel,
+                               hpad_p * pel, vpad_p * pel, sub_x, sub_y)
+            ref_blocks.append(rb)
+
+        wsrc, wrefs = _normalise_weights(wrefs)
+        acc = acc + src_blocks * wsrc[..., None, None]
+        for r in range(radius2):
+            acc = acc + ref_blocks[r] * wrefs[r][..., None, None]
+        blocks = acc >> 8  # [nby, nbx, p_bsy, p_bsx]
+
+        if ovx == 0 and ovy == 0:
+            grid = blocks.transpose(0, 2, 1, 3).reshape(nby * p_bsy,
+                                                        nbx * p_bsx)
+            out = src32.at[:p_hb, :p_wb].set(grid[:p_hb, :p_wb])
+        else:
+            wins = overlap_ops.overlap_windows(p_bsx, p_bsy, p_ovx, p_ovy)
+            acc_plane = overlap_ops.overlap_add(
+                blocks, nbx, nby, (p_bsx, p_bsy), (p_ovx, p_ovy), wins)
+            pix = overlap_ops.to_pixels(acc_plane, bits)
+            out = src32.at[:p_hb, :p_wb].set(pix)
+
+        if limits[plane] < pixel_max:
+            out = jnp.clip(out, src32 - limits[plane], src32 + limits[plane])
+        out_planes.append(out.astype(src.dtype))
+    return out_planes
