@@ -750,3 +750,131 @@ def gop_search(src_levels, ref_levels, *, lv_count, blk_x, blk_y, bsx, bsy,
                           dctmode, dct_fn, mean, pzero, pglobal, badsad,
                           badrange, meander, trymany_lv)
     return [pob.vectors for pob in pobs]
+
+
+def recalculate_mvs(pob, fgop_vectors, old_meta, src_planes, ref_planes,
+                    search_type, search_param, lam, pnew, field_shift,
+                    thsad, dctmode, dct_fn, smooth, meander):
+    """doPobRecalculateMVs (PlaneOfBlocks.cpp:1158-1424).  fgop_vectors:
+    list of (x, y, sad) on the old grid; old_meta: dict with old grid
+    geometry (nblkx, nblky, bsx, bsy, ovx, ovy, pel)."""
+    pob.dctmode = dctmode
+    pob.dct_fn = dct_fn
+    pob.dctweight16 = 8
+    pob.zero_shift_y = field_shift
+    pob.gmv = [0, field_shift, 9999999]
+    pob.src = src_planes
+    pob.ref = ref_planes
+    pob.search_type = search_type
+    pob.search_param = search_param
+    pob.badcount = 0
+    pob.trymany = False
+
+    n_lambda_level = lam // (pob.pel * pob.pel)
+
+    nbxo = old_meta["nblkx"]
+    nbyo = old_meta["nblky"]
+    bsxo = old_meta["bsx"]
+    bsyo = old_meta["bsy"]
+    step_xo = bsxo - old_meta["ovx"]
+    step_yo = bsyo - old_meta["ovy"]
+    pel_old = old_meta["pel"]
+    log_pel_old = pel_old.bit_length() - 1
+
+    luma_plane = src_planes[0]
+    hpad, vpad = luma_plane.hpad, luma_plane.vpad
+    pw, ph = luma_plane.pw, luma_plane.ph
+    logp = pob.log_pel
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for blky in range(pob.nblky):
+        scan_dir = 1 if (blky % 2 == 0 or not meander) else -1
+        blkx_start = 0 if scan_dir == 1 else pob.nblkx - 1
+        for iblkx in range(pob.nblkx):
+            blkx = blkx_start + iblkx * scan_dir
+            pob.blkx, pob.blky = blkx, blky
+            pob.blkidx = blky * pob.nblkx + blkx
+            pob.scan_dir = scan_dir
+
+            pob.x0 = hpad + (pob.bsx - pob.ovx) * blkx
+            pob.y0 = vpad + (pob.bsy - pob.ovy) * blky
+            if pob.chroma:
+                pob.xc = src_planes[1].hpad + ((pob.bsx - pob.ovx) >> pob.logx) * blkx
+                pob.yc = src_planes[1].vpad + ((pob.bsy - pob.ovy) >> pob.logy) * blky
+
+            pob.src_blk = src_planes[0].stack[0][pob.y0:pob.y0 + pob.bsy,
+                                                 pob.x0:pob.x0 + pob.bsx]
+            if pob.chroma:
+                bcy, bcx = pob.bsy >> pob.logy, pob.bsx >> pob.logx
+                pob.src_blk_u = src_planes[1].stack[0][pob.yc:pob.yc + bcy,
+                                                       pob.xc:pob.xc + bcx]
+                pob.src_blk_v = src_planes[2].stack[0][pob.yc:pob.yc + bcy,
+                                                       pob.xc:pob.xc + bcx]
+
+            pob.lam = 0 if blky == 0 else n_lambda_level
+            pob.pnew = pnew
+
+            pob.dxmax = (pw - pob.x0 - pob.bsx) << logp
+            pob.dymax = (ph - pob.y0 - pob.bsy) << logp
+            pob.dxmin = -(pob.x0 << logp)
+            pob.dymin = -(pob.y0 << logp)
+
+            center_x = pob.bsx // 2 + (pob.bsx - pob.ovx) * blkx
+            center_y = pob.bsy // 2 + (pob.bsy - pob.ovy) * blky
+            blkxold = tdiv(center_x - bsxo // 2, step_xo)
+            blkyold = tdiv(center_y - bsyo // 2, step_yo)
+            delta_x = max(0, center_x - (bsxo // 2 + step_xo * blkxold))
+            delta_y = max(0, center_y - (bsyo // 2 + step_yo * blkyold))
+            bx1 = min(nbxo - 1, max(0, blkxold))
+            bx2 = min(nbxo - 1, max(0, blkxold + 1))
+            by1 = min(nbyo - 1, max(0, blkyold))
+            by2 = min(nbyo - 1, max(0, blkyold + 1))
+
+            if smooth == 1:
+                v1 = fgop_vectors[bx1 + by1 * nbxo]
+                v2 = fgop_vectors[bx2 + by1 * nbxo]
+                v3 = fgop_vectors[bx1 + by2 * nbxo]
+                v4 = fgop_vectors[bx2 + by2 * nbxo]
+
+                def lerp(c):
+                    a = v1[c] * step_xo + delta_x * (v2[c] - v1[c])
+                    b = v3[c] * step_xo + delta_x * (v4[c] - v3[c])
+                    return tdiv(a + tdiv(delta_y * (b - a), step_yo), step_xo)
+                vector_old = [lerp(0), lerp(1), lerp(2)]
+            else:
+                if delta_x * 2 < step_xo and delta_y * 2 < step_yo:
+                    vector_old = list(fgop_vectors[bx1 + by1 * nbxo])
+                elif delta_x * 2 >= step_xo and delta_y * 2 < step_yo:
+                    vector_old = list(fgop_vectors[bx2 + by1 * nbxo])
+                elif delta_x * 2 < step_xo and delta_y * 2 >= step_yo:
+                    vector_old = list(fgop_vectors[bx1 + by2 * nbxo])
+                else:
+                    vector_old = list(fgop_vectors[bx2 + by2 * nbxo])
+
+            vector_old[0] = (vector_old[0] << logp) >> log_pel_old
+            vector_old[1] = (vector_old[1] << logp) >> log_pel_old
+
+            pob.pred = pob.clip_mv(vector_old)
+            pob.pred[2] = vector_old[2] * (pob.bsx * pob.bsy) // (bsxo * bsyo)
+
+            pob.best = list(pob.pred)
+
+            if pob.dctmode != 0 and pob.dctmode <= 4:
+                pob.dct_src = pob.dct_fn(pob.src_blk)
+            if pob.dctmode >= 3:
+                pob.src_luma = oracle_sad.luma(pob.src_blk)
+
+            sad = pob.luma_sad(pob.ref_block(pob.pred[0], pob.pred[1]))
+            if pob.chroma:
+                sad += pob.chroma_sad(pob.pred[0], pob.pred[1])
+            pob.best[2] = sad
+            pob.min_cost = sad
+
+            if pob.best[2] > thsad:
+                pob.refine()
+
+            pob.vectors[pob.blkidx] = list(pob.best)
+    return pob.vectors
