@@ -26,6 +26,16 @@ from .core.types import (  # noqa: E402
 from .core.config import SuperConfig, AnalyseConfig  # noqa: E402
 from .super import Super, build_super, SuperClip  # noqa: E402
 from .analyse import analyse  # noqa: E402
+from .depan import (  # noqa: E402
+    DepanAnalyseConfig,
+    DepanCompensateConfig,
+    DepanEstimateConfig,
+    DepanStabiliseConfig,
+    depan_analyse,
+    depan_compensate,
+    depan_estimate,
+    depan_stabilise,
+)
 
 __all__ = [
     "AnalysisMeta",
@@ -38,6 +48,14 @@ __all__ = [
     "SuperClip",
     "build_super",
     "analyse",
+    "DepanAnalyseConfig",
+    "DepanCompensateConfig",
+    "DepanEstimateConfig",
+    "DepanStabiliseConfig",
+    "depan_analyse",
+    "depan_compensate",
+    "depan_estimate",
+    "depan_stabilise",
 ]
 
 __version__ = "0.1.0"

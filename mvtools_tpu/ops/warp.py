@@ -1,0 +1,336 @@
+"""Global-motion transform algebra and affine plane warping.
+
+TPU-first equivalents of the Depan family's transform math and
+`compensate_plane_{nearest,bilinear,bicubic}` warp kernels
+(MVDepan.cpp:63-142, :1554-1615, :1627-2586).  The reference walks rows
+with three hand-specialised scalar loops (translation / zoom / full
+affine); here a single vectorized gather evaluates the affine source
+coordinate for every output pixel at once, quantizes the fractional part
+exactly like the integer coefficient tables do (1/32 bilinear,
+MVDepan.cpp:1910-1913; 1/256 bicubic, :2255-2260), and resolves the
+border policy (mirror bits, edge blur, constant fill or keep-base) with
+masked selects — all shapes static, everything fused by XLA.
+
+All float arithmetic is float32, matching the C `float` transforms.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+MIRROR_TOP = 1
+MIRROR_BOTTOM = 2
+MIRROR_LEFT = 4
+MIRROR_RIGHT = 8
+
+MOTION_UNKNOWN = 9999.0
+MOTION_BAD = 0.0
+
+
+class Transform(NamedTuple):
+    """Affine global-motion transform: xsrc = dxc + dxx*x + dxy*y,
+    ysrc = dyc + dyx*x + dyy*y (MVDepan.cpp:63-75).  Fields may be python
+    floats or traced jnp scalars."""
+    dxc: jnp.ndarray
+    dxx: jnp.ndarray
+    dxy: jnp.ndarray
+    dyc: jnp.ndarray
+    dyx: jnp.ndarray
+    dyy: jnp.ndarray
+
+
+def null_transform() -> Transform:
+    """Identity transform (setNull, MVDepan.cpp:78-85)."""
+    one = jnp.asarray(1.0, F32)
+    zero = jnp.asarray(0.0, F32)
+    return Transform(zero, one, zero, zero, zero, one)
+
+
+def motion2transform(dx, dy, rot, zoom, pixaspect, xcenter, ycenter,
+                     forward: bool, fractoffset) -> Transform:
+    """Motion (dx, dy, rot-degrees, zoom) -> transform at a fractional
+    offset (MVDepan.cpp:1554-1591).  `forward` is static."""
+    dx = jnp.asarray(dx, F32)
+    dy = jnp.asarray(dy, F32)
+    rot = jnp.asarray(rot, F32)
+    zoom1 = jnp.asarray(zoom, F32)
+    fract = jnp.asarray(fractoffset, F32)
+    pixaspect = jnp.asarray(pixaspect, F32)
+    xcenter = jnp.asarray(xcenter, F32)
+    ycenter = jnp.asarray(ycenter, F32)
+
+    ddx = fract * dx
+    ddy = fract * dy
+    rotradian = fract * rot * (np.float32(np.pi) / 180)
+    rotradian = jnp.where(jnp.abs(rotradian) < 1e-6, 0.0, rotradian)
+    z = jnp.exp(fract * jnp.log(zoom1))
+    z = jnp.where(jnp.abs(z - 1.0) < 1e-6, 1.0, z).astype(F32)
+    s = jnp.sin(rotradian).astype(F32)
+    c = jnp.cos(rotradian).astype(F32)
+
+    if forward:
+        dxc = xcenter + (-xcenter * c + ycenter / pixaspect * s) * z + ddx
+        dyc = ycenter + (((-ycenter) / pixaspect * c + (-xcenter) * s) * z
+                         + ddy) * pixaspect
+    else:
+        dxc = xcenter + ((-xcenter + ddx) * c
+                         - ((-ycenter) / pixaspect + ddy) * s) * z
+        dyc = ycenter + (((-ycenter) / pixaspect + ddy) * c
+                         + (-xcenter + ddx) * s) * z * pixaspect
+    dxx = c * z
+    dxy = -s / pixaspect * z
+    dyx = s * z * pixaspect
+    dyy = c * z
+    return Transform(*(jnp.asarray(v, F32)
+                       for v in (dxc, dxx, dxy, dyc, dyx, dyy)))
+
+
+def transform2motion(tr: Transform, forward: bool, xcenter, ycenter,
+                     pixaspect):
+    """Transform -> motion (dx, dy, rot-degrees, zoom)
+    (MVDepan.cpp:88-122)."""
+    pixaspect = jnp.asarray(pixaspect, F32)
+    xcenter = jnp.asarray(xcenter, F32)
+    ycenter = jnp.asarray(ycenter, F32)
+    rotradian = -jnp.arctan(pixaspect * tr.dxy / tr.dxx)
+    rot = rotradian * (180 / np.float32(np.pi))
+    s = jnp.sin(rotradian).astype(F32)
+    c = jnp.cos(rotradian).astype(F32)
+    zoom = tr.dxx / c
+    if forward:
+        dx = tr.dxc - xcenter - (-xcenter * c + ycenter / pixaspect * s) * zoom
+        dy = (tr.dyc / pixaspect - ycenter / pixaspect
+              - ((-ycenter) / pixaspect * c + (-xcenter) * s) * zoom)
+    else:
+        dx = (tr.dxc / zoom * c + tr.dyc / zoom / pixaspect * s
+              - xcenter / zoom * c + xcenter - ycenter / zoom / pixaspect * s)
+        dy = (-tr.dxc / zoom * s + tr.dyc / zoom / pixaspect * c
+              + xcenter / zoom * s - (-ycenter / pixaspect)
+              - ycenter / zoom / pixaspect * c)
+    return (jnp.asarray(dx, F32), jnp.asarray(dy, F32),
+            jnp.asarray(rot, F32), jnp.asarray(zoom, F32))
+
+
+def sumtransform(ta: Transform, tb: Transform) -> Transform:
+    """Composition tb(ta) (MVDepan.cpp:1599-1615)."""
+    return Transform(
+        dxc=tb.dxc + tb.dxx * ta.dxc + tb.dxy * ta.dyc,
+        dxx=tb.dxx * ta.dxx + tb.dxy * ta.dyx,
+        dxy=tb.dxx * ta.dxy + tb.dxy * ta.dyy,
+        dyc=tb.dyc + tb.dyx * ta.dxc + tb.dyy * ta.dyc,
+        dyx=tb.dyx * ta.dxx + tb.dyy * ta.dyx,
+        dyy=tb.dyx * ta.dxy + tb.dyy * ta.dyy)
+
+
+def inversetransform(ta: Transform) -> Transform:
+    """Inverse transform (MVDepan.cpp:128-142)."""
+    pixaspect = jnp.where(ta.dxy != 0.0,
+                          jnp.sqrt(-ta.dyx / jnp.where(ta.dxy != 0.0,
+                                                       ta.dxy, 1.0)),
+                          1.0).astype(F32)
+    dxx = ta.dxx / (ta.dxx * ta.dxx
+                    + ta.dxy * ta.dxy * pixaspect * pixaspect)
+    dxy = -dxx * ta.dxy / ta.dxx
+    dyx = -dxy * pixaspect * pixaspect
+    dxc = -dxx * ta.dxc - dxy * ta.dyc
+    dyc = -dyx * ta.dxc - dxx * ta.dyc
+    return Transform(dxc=dxc, dxx=dxx, dxy=dxy, dyc=dyc, dyx=dyx, dyy=dxx)
+
+
+def transform_for_plane(tr: Transform, sub_w: int, sub_h: int) -> Transform:
+    """Chroma transform adjustment (MVDepan.cpp:2688-2700): 420 halves the
+    offsets; 422 halves dxc/dxy and doubles dyx."""
+    if sub_w == 1 and sub_h == 1:      # 420
+        return tr._replace(dxc=tr.dxc / 2, dyc=tr.dyc / 2)
+    if sub_w == 1 and sub_h == 0:      # 422
+        return tr._replace(dxc=tr.dxc / 2, dxy=tr.dxy / 2, dyx=tr.dyx * 2)
+    return tr
+
+
+def _mirror_coord(v, size, do_low, do_high):
+    """hlow<0 -> -hlow; hlow>=size -> 2*size-hlow-2, gated by mirror bits
+    (MVDepan.cpp:1678-1681)."""
+    out = v
+    if do_low:
+        out = jnp.where(out < 0, -out, out)
+    if do_high:
+        out = jnp.where(out >= size, 2 * size - out - 2, out)
+    return out
+
+
+def _edge_blur_lookup(plane_i32, w0_rows, rowleft, mleft, mright, blurmax,
+                      width):
+    """Left/right mirrored edge fill with optional directional blur
+    (MVDepan.cpp:1697-1716): blur = mean of `blurlen` pixels ending at the
+    mirrored position.  Vectorized with a per-row cumulative sum."""
+    h = plane_i32.shape[0]
+    rows = jnp.clip(w0_rows, 0, h - 1)
+    lines = plane_i32[rows]                     # [H, W] gathered rows
+    mirror_left_x = jnp.clip(-rowleft, 0, width - 1)
+    mirror_right_x = jnp.clip(2 * width - rowleft - 2, 0, width - 1)
+    if blurmax <= 0:
+        left_val = jnp.take_along_axis(
+            lines, mirror_left_x[..., None], axis=-1)[..., 0]
+        right_val = jnp.take_along_axis(
+            lines, mirror_right_x[..., None], axis=-1)[..., 0]
+    else:
+        csum = jnp.cumsum(lines, axis=-1)      # inclusive prefix sums
+
+        def seg_sum(a, b):                     # sum of lines[a..b] inclusive
+            hi = jnp.take_along_axis(csum, jnp.clip(b, 0, width - 1)[..., None],
+                                     axis=-1)[..., 0]
+            lo = jnp.where(a > 0,
+                           jnp.take_along_axis(
+                               csum, jnp.clip(a - 1, 0, width - 1)[..., None],
+                               axis=-1)[..., 0], 0)
+            return hi - lo
+
+        blen_l = jnp.clip(jnp.minimum(blurmax, -rowleft), 1, None)
+        a_l = -rowleft - blen_l + 1
+        left_val = seg_sum(a_l, -rowleft) // blen_l
+        blen_r = jnp.clip(jnp.minimum(blurmax, rowleft - width + 1), 1, None)
+        a_r = 2 * width - rowleft - 2
+        right_val = seg_sum(a_r, a_r + blen_r - 1) // blen_r
+    use_left = (rowleft < 0) & mleft
+    use_right = (rowleft >= width) & mright
+    return use_left, left_val, use_right, right_val
+
+
+def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
+               mirror: int, border: int, blur: int, pixel_max: int,
+               base: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Warp one plane by the affine transform.
+
+    subpixel: 0 nearest (compensate_plane_nearest MVDepan.cpp:1627-1847),
+    1 bilinear (:1856-2193), 2 bicubic (:2203-2586).  `border < 0` keeps
+    `base` (or the untouched source) outside; >= 0 fills with the constant.
+    `blur` smears mirrored left/right edges (blurmax).
+    """
+    h, w = plane.shape
+    src = plane.astype(I32)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=F32), jnp.arange(w, dtype=F32),
+                          indexing="ij")
+    xsrc = tr.dxc + tr.dxx * xs + tr.dxy * ys
+    ysrc = tr.dyc + tr.dyx * xs + tr.dyy * ys
+
+    mtop = bool(mirror & MIRROR_TOP)
+    mbottom = bool(mirror & MIRROR_BOTTOM)
+    mleft = bool(mirror & MIRROR_LEFT)
+    mright = bool(mirror & MIRROR_RIGHT)
+
+    def clampedx(v):
+        return jnp.clip(v, 0, w - 1)
+
+    def clampedy(v):
+        return jnp.clip(v, 0, h - 1)
+
+    if subpixel == 0:
+        rowleft = jnp.floor(xsrc + 0.5).astype(I32)
+        hlow = jnp.floor(ysrc + 0.5).astype(I32)
+        hlow_m = _mirror_coord(hlow, h, mtop, mbottom)
+        y_ok = (hlow_m >= 0) & (hlow_m < h)
+        nearest = src[clampedy(hlow_m), clampedx(rowleft)]
+        x_in = (rowleft >= 0) & (rowleft < w)
+        use_l, lv, use_r, rv = _edge_blur_lookup(
+            src, hlow_m, rowleft, mleft, mright, blur, w)
+        val = jnp.where(x_in, nearest, 0)
+        val = jnp.where(use_l, lv, val)
+        val = jnp.where(use_r, rv, val)
+        valid = y_ok & (x_in | use_l | use_r)
+        out = val
+    elif subpixel == 1:
+        rowleft = jnp.floor(xsrc).astype(I32)
+        hlow = jnp.floor(ysrc).astype(I32)
+        # 1/32 quantized coefficients, product >> 10 (MVDepan.cpp:1907-1913)
+        ix = jnp.floor((xsrc - rowleft.astype(F32)) * 32).astype(I32)
+        iy = jnp.floor((ysrc - hlow.astype(F32)) * 32).astype(I32)
+        hlow_m = _mirror_coord(hlow, h, mtop, mbottom)
+        cy = clampedy(hlow_m)
+        cy1 = clampedy(hlow_m + 1)
+        cx = clampedx(rowleft)
+        cx1 = clampedx(rowleft + 1)
+        p00 = src[cy, cx]
+        p01 = src[cy, cx1]
+        p10 = src[cy1, cx]
+        p11 = src[cy1, cx1]
+        interp = ((32 - iy) * ((32 - ix) * p00 + ix * p01)
+                  + iy * ((32 - ix) * p10 + ix * p11)) >> 10
+        interp_ok = ((rowleft >= 0) & (rowleft < w - 1)
+                     & (hlow_m >= 0) & (hlow_m < h - 1))
+        # bottom line falls back to nearest (MVDepan.cpp:2006-2018)
+        near_ok = ((hlow_m == h - 1) & (rowleft >= 0) & (rowleft < w))
+        use_l, lv, use_r, rv = _edge_blur_lookup(
+            src, hlow_m, rowleft, mleft, mright, blur, w)
+        y_ok = (hlow_m >= 0) & (hlow_m < h)
+        val = jnp.where(interp_ok, interp, jnp.where(near_ok, p00, 0))
+        val = jnp.where(~(interp_ok | near_ok) & use_l, lv, val)
+        val = jnp.where(~(interp_ok | near_ok) & use_r, rv, val)
+        valid = y_ok & (interp_ok | near_ok | use_l | use_r)
+        out = val
+    elif subpixel == 2:
+        rowleft = jnp.floor(xsrc).astype(I32)
+        hlow = jnp.floor(ysrc).astype(I32)
+        # 1/256 quantized Catmull-like coefficients scaled by 2048
+        # (MVDepan.cpp:2255-2260); 2-D product /2048, sum (+1024) >> 11
+        sx = jnp.clip(jnp.floor((xsrc - rowleft.astype(F32)) * 256), 0,
+                      256).astype(I32)
+        sy = jnp.clip(jnp.floor((ysrc - hlow.astype(F32)) * 256), 0,
+                      256).astype(I32)
+
+        def coefs(i):
+            c0 = -((i * (256 - i) * (256 - i))) // 8192
+            c1 = (256 * 256 * 256 - 2 * 256 * i * i + i * i * i) // 8192
+            c2 = (i * (256 * 256 + 256 * i - i * i)) // 8192
+            c3 = -(i * i * (256 - i)) // 8192
+            return c0, c1, c2, c3
+
+        cxs = coefs(sx)
+        cys = coefs(sy)
+        hlow_m = _mirror_coord(hlow, h, mtop, mbottom)
+        acc = jnp.zeros((h, w), I32)
+        for j in range(4):
+            wy = cys[j]
+            row_sum = jnp.zeros((h, w), I32)
+            cyj = clampedy(hlow_m + (j - 1))
+            for i in range(4):
+                cxi = clampedx(rowleft + (i - 1))
+                row_sum = row_sum + cxs[i] * src[cyj, cxi]
+            acc = acc + wy * ((row_sum) // 2048)
+        interp = (acc + 1024) >> 11
+        interp = jnp.clip(interp, 0, pixel_max)
+        interp_ok = ((rowleft >= 1) & (rowleft < w - 2)
+                     & (hlow_m >= 1) & (hlow_m < h - 2))
+        # near-edge rows/cols fall back to bilinear/nearest
+        # (MVDepan.cpp:2334-2366); use nearest for simplicity of the
+        # fallback band (1-2 pixels wide)
+        cy = clampedy(hlow_m)
+        cx = clampedx(rowleft)
+        near = src[cy, cx]
+        near_ok = ((rowleft >= 0) & (rowleft < w)
+                   & (hlow_m >= 0) & (hlow_m < h))
+        use_l, lv, use_r, rv = _edge_blur_lookup(
+            src, hlow_m, rowleft, mleft, mright, blur, w)
+        y_ok = (hlow_m >= 0) & (hlow_m < h)
+        val = jnp.where(interp_ok, interp, jnp.where(near_ok, near, 0))
+        val = jnp.where(~(interp_ok | near_ok) & use_l, lv, val)
+        val = jnp.where(~(interp_ok | near_ok) & use_r, rv, val)
+        valid = y_ok & (interp_ok | near_ok | use_l | use_r)
+        out = val
+    else:
+        raise ValueError(f"subpixel {subpixel}")
+
+    if border >= 0:
+        background = jnp.asarray(border, I32)
+    elif base is not None:
+        background = base.astype(I32)
+    else:
+        background = src
+    fill = jnp.where(valid, out, background)
+    return fill.astype(plane.dtype)

@@ -9,3 +9,14 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: the suite is compile-dominated (many static
+# block-size/bit-depth specializations), so cache compiled executables across
+# runs.  Safe on CPU with the thunk runtime in current jax.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "xla_gpu_per_fusion_autotune_cache_dir")
