@@ -71,17 +71,20 @@ def main():
     prev = clip[0:batch]
     nxt = clip[2:batch + 2]
 
-    def per_frame(c, p, n):
-        return degrain1_frame([c], [p], [n], sspec, aspec_b, aspec_f, dcfg)[0]
+    # One frame of the lock-step engine already saturates the chip (every
+    # block searches in parallel), so frames are looped, not vmapped —
+    # vmapping frames over the block-parallel search multiplies the gather
+    # working set without adding utilization.
+    step = jax.jit(lambda c, p, n: degrain1_frame(
+        [c], [p], [n], sspec, aspec_b, aspec_f, dcfg)[0])
 
-    step = jax.jit(jax.vmap(per_frame))
-
-    out = step(cur, prev, nxt)
+    out = step(cur[0], prev[0], nxt[0])
     out.block_until_ready()  # compile + warmup
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(cur, prev, nxt)
+        for b in range(batch):
+            out = step(cur[b], prev[b], nxt[b])
     out.block_until_ready()
     dt = time.perf_counter() - t0
     fps = batch * iters / dt

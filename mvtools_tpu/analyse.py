@@ -215,20 +215,49 @@ def _st(bx, by, bsad, mincost, direction=0):
 
 
 class SearchEngine:
-    """Per-level search machinery specialised on static config."""
+    """Per-level search machinery specialised on static config.
 
-    def __init__(self, ctx: LevelCtx, dctmode: int):
+    lockstep=True selects mask-based control flow instead of
+    lax.cond/lax.switch around inner while loops: under vmap a batched cond
+    must evaluate both branches anyway, and the XLA TPU backend
+    additionally materializes the gather operand per batch lane for
+    cond-wrapped loops (OOM at real sizes) — masked execution avoids both.
+    Candidate-evaluation ORDER inside a switch case may differ from the
+    reference in lockstep mode (tie-breaks only).
+    """
+
+    def __init__(self, ctx: LevelCtx, dctmode: int, lockstep: bool = False):
         self.ctx = ctx
         self.dctmode = dctmode
+        self.lockstep = lockstep
         self.luma_sad, self.chroma_sad = _make_evaluator(ctx, dctmode)
 
     # -- the core batched CheckMV -----------------------------------------
+    # Candidate batches larger than this are evaluated as sequential
+    # sub-batches: the running-minimum update rule is associative across
+    # calls (first strict improvement wins either way), and it bounds the
+    # gather working set to nblk * CHUNK * blkarea under the block vmap.
+    CANDIDATE_CHUNK = 32
+
     def check_batch(self, bc: BlockCtx, st, vxs, vys, penalty_new=True,
                     update_xy=True, dir_vals=None, extra_mask=None):
         """Evaluate candidates in order; first strict improvement of the
         batch minimum wins (== sequential pobCheckMV semantics)."""
         vxs = _i32(vxs)
         vys = _i32(vys)
+        k_total = vxs.shape[0]
+        if k_total > self.CANDIDATE_CHUNK:
+            c = self.CANDIDATE_CHUNK
+            for lo in range(0, k_total, c):
+                dv = None
+                if dir_vals is not None:
+                    dv = jnp.asarray(dir_vals)[lo:lo + c]
+                em = None if extra_mask is None else extra_mask[lo:lo + c]
+                st = self.check_batch(bc, st, vxs[lo:lo + c], vys[lo:lo + c],
+                                      penalty_new=penalty_new,
+                                      update_xy=update_xy, dir_vals=dv,
+                                      extra_mask=em)
+            return st
         ok = ((vxs >= bc.dxmin) & (vys >= bc.dymin)
               & (vxs < bc.dxmax) & (vys < bc.dymax))
         if extra_mask is not None:
@@ -263,7 +292,7 @@ class SearchEngine:
                 & (vx < bc.dxmax) & (vy < bc.dymax))
 
     # -- search algorithms -------------------------------------------------
-    def expanding(self, bc, st, r: int, s: int, cx, cy):
+    def expanding(self, bc, st, r: int, s: int, cx, cy, active=None):
         """One thin square ring (pobExpandingSearch PlaneOfBlocks.cpp:635-658).
         r, s static; centre traced."""
         offs = []
@@ -274,7 +303,8 @@ class SearchEngine:
         offs += [(-r, -r), (-r, r), (r, -r), (r, r)]
         dx = jnp.asarray([o[0] for o in offs], I32)
         dy = jnp.asarray([o[1] for o in offs], I32)
-        return self.check_batch(bc, st, cx + dx, cy + dy)
+        em = None if active is None else jnp.broadcast_to(active, dx.shape)
+        return self.check_batch(bc, st, cx + dx, cy + dy, extra_mask=em)
 
     def exhaustive(self, bc, st, radius: int):
         """Rings 1..radius around the best-at-entry (pobRefine :786-791)."""
@@ -309,8 +339,16 @@ class SearchEngine:
         st = self.check_batch(bc, st, jnp.stack([dx0 - length, dx0 + length]),
                               jnp.stack([dy0, dy0]), dir_vals=[2, 1])
 
-        def walk(st, dx, dy, sign, axis):
-            # while (direction) { direction=0; d += sign*length; check(d+sign*length) }
+        # masked walk handles all three dir cases uniformly (dir==0: the
+        # loop condition is false on entry and the start value passes
+        # through) — identical values to the original 3-way switch, and it
+        # avoids lax.switch-around-while (which under vmap makes the XLA
+        # TPU backend materialize gather operands per lane).
+        def walk_masked(st, dx, dy, axis):
+            sign = jnp.where(st["dir"] == 2, _i32(-1), _i32(1))
+            start = dx if axis == 0 else dy
+            st0 = dict(st, dir=jnp.where(st["dir"] != 0, _i32(1), _i32(0)))
+
             def cond(c):
                 return c[0]["dir"] != 0
 
@@ -324,43 +362,16 @@ class SearchEngine:
                                      jnp.stack([vy]), dir_vals=[1])
                 return (s, d)
 
-            start = dx if axis == 0 else dy
-            st2, dfin = jax.lax.while_loop(cond, body, (st, start))
-            return st2, dfin
+            return jax.lax.while_loop(cond, body, (st0, start))
 
         # horizontal phase
-        def h_pos(st):
-            s, dxf = walk(dict(st, dir=_i32(1)), dx0, dy0, 1, 0)
-            return s, dxf
-
-        def h_neg(st):
-            s, dxf = walk(dict(st, dir=_i32(1)), dx0, dy0, -1, 0)
-            return s, dxf
-
-        def h_none(st):
-            return st, dx0
-
-        st, dx1 = jax.lax.switch(jnp.clip(st["dir"], 0, 2),
-                                 [h_none, h_pos, h_neg], st)
+        st, dx1 = walk_masked(st, dx0, dy0, 0)
         # vertical phase from (dx1, dy0)
         st = dict(st, dir=_i32(0))
         st = self.check_batch(bc, st, jnp.stack([dx1, dx1]),
                               jnp.stack([dy0 - length, dy0 + length]),
                               dir_vals=[2, 1])
-
-        def v_pos(st):
-            s, dyf = walk(dict(st, dir=_i32(1)), dx1, dy0, 1, 1)
-            return s
-
-        def v_neg(st):
-            s, dyf = walk(dict(st, dir=_i32(1)), dx1, dy0, -1, 1)
-            return s
-
-        def v_none(st):
-            return st
-
-        st = jax.lax.switch(jnp.clip(st["dir"], 0, 2),
-                            [v_none, v_pos, v_neg], st)
+        st, _ = walk_masked(st, dx1, dy0, 1)
         return st
 
     def diamond(self, bc, st, length: int):
@@ -401,14 +412,21 @@ class SearchEngine:
                                        dir_vals=jnp.where(horiz, dvs_h, dvs_v))
                 return st2
 
+            pp = (length, length)
+            mp = (-length, length)
+            pm = (length, -length)
+            mm = (-length, -length)
+            diag = {pp: R + D, mp: L + D, pm: R + U, mm: L + U}
+            cases = {
+                R: (pp, pm), L: (mp, mm), D: (pp, mp), U: (pm, mm),
+                R + D: (pp, mp, pm), L + D: (pp, mp, mm),
+                R + U: (pp, mm, pm), L + U: (mm, mp, pm),
+            }
+            default = (pp, mp, pm, mm)
+
             def diagonals(st):
                 # switch (lastDirection): check 2-3 diagonals in case order
                 # (PlaneOfBlocks.cpp:584-629).
-                diag = {
-                    (length, length): R + D, (-length, length): L + D,
-                    (length, -length): R + U, (-length, -length): L + U,
-                }
-
                 def mk(case_offs):
                     vxs = jnp.stack([dx + o[0] for o in case_offs])
                     vys = jnp.stack([dy + o[1] for o in case_offs])
@@ -416,29 +434,44 @@ class SearchEngine:
                     return lambda s: self.check_batch(bc, s, vxs, vys,
                                                       dir_vals=dvs)
 
-                pp = (length, length)
-                mp = (-length, length)
-                pm = (length, -length)
-                mm = (-length, -length)
-                cases = {
-                    R: (pp, pm), L: (mp, mm), D: (pp, mp), U: (pm, mm),
-                    R + D: (pp, mp, pm), L + D: (pp, mp, mm),
-                    R + U: (pp, mm, pm), L + U: (mm, mp, pm),
-                }
-                default = (pp, mp, pm, mm)
                 branches = []
                 for idx in range(16):
                     branches.append(mk(cases.get(idx, default)))
                 return jax.lax.switch(jnp.clip(last, 0, 15), branches, st)
 
-            st = jax.lax.cond(found != 0, improved, diagonals, st)
+            def diagonals_masked(st):
+                # lockstep: evaluate all 4 diagonals once, masked by the
+                # per-case inclusion table (canonical candidate order;
+                # tie-breaks may differ from the case-specific order)
+                order = (pp, mp, pm, mm)
+                table = np.zeros((16, 4), bool)
+                for case in range(16):
+                    offs = cases.get(case, default)
+                    for k, o in enumerate(order):
+                        table[case, k] = o in offs
+                mask = jnp.asarray(table)[jnp.clip(last, 0, 15)]
+                vxs = jnp.stack([dx + o[0] for o in order])
+                vys = jnp.stack([dy + o[1] for o in order])
+                dvs = [diag[o] for o in order]
+                return self.check_batch(bc, st, vxs, vys, dir_vals=dvs,
+                                        extra_mask=mask)
+
+            if self.lockstep:
+                st_imp = improved(st)
+                st_diag = diagonals_masked(st)
+                st = {k: jnp.where(found != 0, st_imp[k], st_diag[k])
+                      for k in st}
+            else:
+                st = jax.lax.cond(found != 0, improved, diagonals, st)
             return (st, last)
 
         st, _ = jax.lax.while_loop(cond, body, (st, _i32(15)))
         return st
 
-    def hex2(self, bc, st, i_me_range: int):
-        """pobHex2Search (PlaneOfBlocks.cpp:661-724)."""
+    def hex2(self, bc, st, i_me_range: int, active=None):
+        """pobHex2Search (PlaneOfBlocks.cpp:661-724).  `active` (traced
+        bool) masks the whole search for this lane: no probe can improve,
+        so dir stays -2 and the walk exits immediately."""
         hexp = [(-1, -2), (-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2),
                 (-1, -2), (-2, 0)]
         mod6m1 = [5, 0, 1, 2, 3, 4, 5, 0]
@@ -452,8 +485,11 @@ class SearchEngine:
             offs = [(-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2), (-1, -2)]
             vxs = jnp.stack([bmx + o[0] for o in offs])
             vys = jnp.stack([bmy + o[1] for o in offs])
+            em = (None if active is None
+                  else jnp.broadcast_to(active, vxs.shape))
             st = self.check_batch(bc, st, vxs, vys, update_xy=False,
-                                  dir_vals=[0, 1, 2, 3, 4, 5])
+                                  dir_vals=[0, 1, 2, 3, 4, 5],
+                                  extra_mask=em)
 
             def refine_walk(op):
                 st, bmx, bmy = op
@@ -491,11 +527,22 @@ class SearchEngine:
             def no_walk(op):
                 return op[0], op[1], op[2]
 
-            st, bmx, bmy = jax.lax.cond(st["dir"] != -2, refine_walk, no_walk,
-                                        (st, bmx, bmy))
+            if self.lockstep:
+                # masked execution: a dir==-2 lane enters refine_walk with a
+                # garbage first step but its while condition is false on
+                # entry, and the results are discarded by the select below
+                walked = st["dir"] != -2
+                st_w, bmx_w, bmy_w = refine_walk((st, bmx, bmy))
+                st = {k: jnp.where(walked, st_w[k], st[k]) for k in st}
+                bmx = jnp.where(walked, bmx_w, bmx)
+                bmy = jnp.where(walked, bmy_w, bmy)
+            else:
+                st, bmx, bmy = jax.lax.cond(st["dir"] != -2, refine_walk,
+                                            no_walk, (st, bmx, bmy))
             st = dict(st, bx=bmx, by=bmy)
         # square refine
-        return self.expanding(bc, st, 1, 1, st["bx"], st["by"])
+        return self.expanding(bc, st, 1, 1, st["bx"], st["by"],
+                              active=active)
 
     def cross(self, bc, st, start: int, x_max: int, y_max: int, cx, cy):
         """pobCrossSearch (PlaneOfBlocks.cpp:727-739); bounds static."""
@@ -664,6 +711,11 @@ def _pseudo_epz(engine: SearchEngine, bc: BlockCtx, e: EPZ, spec_level):
     else:
         st = engine.refine(bc, st, search, param)
 
+    if spec_level.get("skip_rescue"):
+        # lockstep: the rescue is applied at field level (dense uniform
+        # displacements + vmapped tail) by search_level_lockstep
+        return st, e.badcount
+
     # ---- bad-SAD rescue (PlaneOfBlocks.cpp:938-963) ----------------------
     found_sad = st["bsad"]
     bad = ((e.blkidx_seq > 1)
@@ -675,18 +727,29 @@ def _pseudo_epz(engine: SearchEngine, bc: BlockCtx, e: EPZ, spec_level):
         elif badrange < 0:  # expanding rings around zero, early break
             done = jnp.asarray(False)
             for i in range(1, -badrange * pelf, pelf):
-                def ring(op):
-                    st, done = op
-                    st = engine.expanding(bc, st, i, pelf, _i32(0), _i32(0))
-                    return st, st["bsad"] < found_sad // 4
-                st, done = jax.lax.cond(
-                    done, lambda op: op, ring, (st, done))
+                if engine.lockstep:
+                    st_ring = engine.expanding(bc, st, i, pelf, _i32(0),
+                                               _i32(0))
+                    st = {k: jnp.where(done, st[k], st_ring[k]) for k in st}
+                    done = done | (st["bsad"] < found_sad // 4)
+                else:
+                    def ring(op):
+                        st, done = op
+                        st = engine.expanding(bc, st, i, pelf, _i32(0),
+                                              _i32(0))
+                        return st, st["bsad"] < found_sad // 4
+                    st, done = jax.lax.cond(
+                        done, lambda op: op, ring, (st, done))
         mvx, mvy = st["bx"], st["by"]
         for i in range(1, pelf):
             st = engine.expanding(bc, st, i, 1, mvx, mvy)
         return st
 
-    st = jax.lax.cond(bad, rescue, lambda s: s, st)
+    if engine.lockstep:
+        st_r = rescue(st)
+        st = {k: jnp.where(bad, st_r[k], st[k]) for k in st}
+    else:
+        st = jax.lax.cond(bad, rescue, lambda s: s, st)
     new_badcount = e.badcount + bad.astype(I32)
     return st, new_badcount
 
@@ -861,6 +924,490 @@ def search_level(ctx: LevelCtx, spec, level_params, vectors_in,
     if smallest:
         mean_luma_change = _trunc_div(sumluma, nblk).astype(I32)
     return (vx, vy, vs), mean_luma_change
+
+
+# ---------------------------------------------------------------------------
+# Lock-step whole-plane search: the TPU-native fast path.
+#
+# The reference's EPZ walk is Gauss-Seidel: each block's left/up predictors
+# read vectors written moments earlier in the same raster pass
+# (pobFetchPredictors PlaneOfBlocks.cpp:419-440), which serializes the scan.
+# On TPU that means one tiny lax.scan step per block — latency-bound and
+# ~10^4x under-utilized.  Here every block searches SIMULTANEOUSLY (one
+# vmapped pseudo-EPZ over the whole plane of blocks: all gathers and SAD
+# reductions become one batched op), and the neighbour predictors are
+# iterated Jacobi-style: iteration k reads the field produced by iteration
+# k-1 (iteration 0 reads the inter-level prediction).  Two iterations
+# approximate one Gauss-Seidel pass closely (predictor information
+# propagates one hop per iteration, and the refinement searches do the
+# rest).  Differences vs the exact engine: predictor values lag one
+# iteration, and the badcount feedback (PlaneOfBlocks.cpp:942-945) is
+# per-block instead of globally accumulated.
+
+
+class DenseEvaluator:
+    """SAD evaluation for UNIFORM displacements: every block probes the
+    same vector (the rescue cross/hex4/rings around (0,0),
+    PlaneOfBlocks.cpp:727-769, 940-963; the zero and global trials).
+
+    Instead of per-block gathers (XLA TPU gather costs ~ms per op
+    regardless of size), a uniform displacement is one dynamic-slice
+    SHIFT of the whole ref plane + an elementwise |src-ref| + per-block
+    box sums (reshape-reduce without overlap, integral image with) —
+    pure VPU work, bit-identical SAD values.
+    """
+
+    def __init__(self, ctx: LevelCtx, x0_a, y0_a, xc_a, yc_a, pad: int):
+        self.ctx = ctx
+        self.pad = pad
+        bsx, bsy = ctx.blk_size
+        bcx, bcy = ctx.blk_size_c
+        ovx, ovy = ctx.overlap
+        nbx, nby = ctx.nblk
+        logx, logy = ctx.log_ratio_uv
+        hpad, hpad_c = ctx.hpad
+        vpad, vpad_c = ctx.vpad
+
+        # luma block-grid region and padded ref stack
+        self.hr = (nby - 1) * (bsy - ovy) + bsy
+        self.wr = (nbx - 1) * (bsx - ovx) + bsx
+        src = ctx.src_planes[0].astype(I32)
+        self.src_region = jax.lax.dynamic_slice(
+            src, (vpad, hpad), (self.hr, self.wr))
+        self.ref_pad = jnp.pad(
+            ctx.ref_stacks[0], ((0, 0), (pad, pad), (pad, pad)),
+            mode="edge")
+        self.base_y = vpad + pad
+        self.base_x = hpad + pad
+        if ctx.chroma:
+            pc = max(pad >> logx, pad >> logy, 2)
+            self.pad_c = pc
+            self.hr_c = (nby - 1) * ((bsy - ovy) >> logy) + bcy
+            self.wr_c = (nbx - 1) * ((bsx - ovx) >> logx) + bcx
+            self.src_region_u = jax.lax.dynamic_slice(
+                ctx.src_planes[1].astype(I32), (vpad_c, hpad_c),
+                (self.hr_c, self.wr_c))
+            self.src_region_v = jax.lax.dynamic_slice(
+                ctx.src_planes[2].astype(I32), (vpad_c, hpad_c),
+                (self.hr_c, self.wr_c))
+            self.ref_pad_u = jnp.pad(
+                ctx.ref_stacks[1], ((0, 0), (pc, pc), (pc, pc)), mode="edge")
+            self.ref_pad_v = jnp.pad(
+                ctx.ref_stacks[2], ((0, 0), (pc, pc), (pc, pc)), mode="edge")
+            self.base_y_c = vpad_c + pc
+            self.base_x_c = hpad_c + pc
+        # per-block region-relative offsets for the integral-image path
+        self.rel_y = (y0_a - vpad).reshape(-1)
+        self.rel_x = (x0_a - hpad).reshape(-1)
+        self.rel_y_c = (yc_a - vpad_c).reshape(-1)
+        self.rel_x_c = (xc_a - hpad_c).reshape(-1)
+
+    def _block_sums(self, diff, bs, ov, nb, rel_y, rel_x):
+        """Per-block sums of `diff` [hr, wr] -> [nblk] int64."""
+        bsx, bsy = bs
+        ovx, ovy = ov
+        nbx, nby = nb
+        if ovx == 0 and ovy == 0:
+            s = diff.reshape(nby, bsy, nbx, bsx).sum(axis=(1, 3),
+                                                     dtype=jnp.int64)
+            return s.reshape(-1)
+        integ = jnp.pad(jnp.cumsum(jnp.cumsum(
+            diff.astype(jnp.int64), axis=0), axis=1), ((1, 0), (1, 0)))
+        tl = integ[rel_y, rel_x]
+        tr = integ[rel_y, rel_x + bsx]
+        bl = integ[rel_y + bsy, rel_x]
+        br = integ[rel_y + bsy, rel_x + bsx]
+        return br - bl - tr + tl
+
+    def luma_sads(self, vx, vy):
+        """[nblk] int64 luma SAD at the uniform pel-units displacement
+        (vx, vy), traced scalars (pobGetRefBlock pel math,
+        PlaneOfBlocks.cpp:34-54 — block origins are pel-aligned so the
+        subplane index is uniform)."""
+        ctx = self.ctx
+        pelm = ctx.pel - 1
+        logp = ctx.log_pel
+        idx = (vx & pelm) | ((vy & pelm) << logp)
+        sy = self.base_y + (vy >> logp)
+        sx = self.base_x + (vx >> logp)
+        region = jax.lax.dynamic_slice(
+            self.ref_pad, (idx, sy, sx), (1, self.hr, self.wr)
+        )[0].astype(I32)
+        diff = jnp.abs(self.src_region - region)
+        return self._block_sums(diff, ctx.blk_size, ctx.overlap, ctx.nblk,
+                                self.rel_y, self.rel_x)
+
+    def chroma_sads(self, vx, vy):
+        ctx = self.ctx
+        if not ctx.chroma:
+            return jnp.zeros_like(self.rel_y, dtype=jnp.int64)
+        pelm = ctx.pel - 1
+        logp = ctx.log_pel
+        logx, logy = ctx.log_ratio_uv
+        xbias = jnp.where(vx < 0, (1 << logx) - 1, 0)
+        ybias = jnp.where(vy < 0, (1 << logy) - 1, 0)
+        tx = (vx + xbias) >> logx
+        ty = (vy + ybias) >> logy
+        idx = (tx & pelm) | ((ty & pelm) << logp)
+        sy = self.base_y_c + (ty >> logp)
+        sx = self.base_x_c + (tx >> logp)
+        bs = (ctx.blk_size_c[0], ctx.blk_size_c[1])
+        ov = (ctx.overlap[0] >> logx, ctx.overlap[1] >> logy)
+        total = jnp.zeros_like(self.rel_y, dtype=jnp.int64)
+        for ref_pad, src_region in ((self.ref_pad_u, self.src_region_u),
+                                    (self.ref_pad_v, self.src_region_v)):
+            region = jax.lax.dynamic_slice(
+                ref_pad, (idx, sy, sx), (1, self.hr_c, self.wr_c)
+            )[0].astype(I32)
+            diff = jnp.abs(src_region - region)
+            total = total + self._block_sums(diff, bs, ov, ctx.nblk,
+                                             self.rel_y_c, self.rel_x_c)
+        return total
+
+    def check_uniform(self, field, offsets, bounds, pred, lam, pnew,
+                      active):
+        """Sequential running-min update over a static list of uniform
+        displacements — same update rule as SearchEngine.check_batch but
+        one plane-shift per candidate instead of per-block gathers.
+
+        field: dict of [nblk] arrays (bx, by, bsad, mincost);
+        offsets: static [(dx, dy)] in pel units, evaluated in order;
+        bounds: (dxmin, dxmax, dymin, dymax) [nblk];
+        pred: (pred_x, pred_y) [nblk]; active: [nblk] bool gate.
+        """
+        dxmin, dxmax, dymin, dymax = bounds
+        px, py = pred
+        offs = jnp.asarray(offsets, I32)          # [D, 2]
+
+        def body(carry, off):
+            bx, by, bsad, mincost = carry
+            vx, vy = off[0], off[1]
+            ls = self.luma_sads(vx, vy)
+            cs = self.chroma_sads(vx, vy)
+            ok = (active & (vx >= dxmin) & (vy >= dymin)
+                  & (vx < dxmax) & (vy < dymax))
+            dx = (px - vx).astype(I32)
+            dy = (py - vy).astype(I32)
+            dist = (dx * dx + dy * dy).astype(I32)
+            md = ((lam * dist.astype(I64)) >> 8).astype(I32).astype(I64)
+            pn = _i64(pnew)
+            cost = md + ls + cs + ((pn * ls) >> 8) + ((pn * cs) >> 8)
+            cost = jnp.where(ok, cost, _INF)
+            improve = cost < mincost
+            bx = jnp.where(improve, vx, bx)
+            by = jnp.where(improve, vy, by)
+            bsad = jnp.where(improve, ls + cs, bsad)
+            mincost = jnp.where(improve, cost, mincost)
+            return (bx, by, bsad, mincost), None
+
+        carry = (field["bx"], field["by"], field["bsad"], field["mincost"])
+        (bx, by, bsad, mincost), _ = jax.lax.scan(body, carry, offs)
+        return dict(bx=bx, by=by, bsad=bsad, mincost=mincost)
+
+
+def _umh_uniform_offsets(i_me_range: int):
+    """Cross + multi-hexagon offsets around (0,0) in reference order
+    (pobCrossSearch PlaneOfBlocks.cpp:727-739, pobUMHSearch :742-760)."""
+    offs = []
+    for i in range(1, i_me_range, 2):
+        offs += [(-i, 0), (i, 0)]
+    for j in range(1, i_me_range, 2):
+        offs += [(0, -j), (0, j)]
+    hex4 = [(-4, 2), (-4, 1), (-4, 0), (-4, -1), (-4, -2), (4, -2),
+            (4, -1), (4, 0), (4, 1), (4, 2), (2, 3), (0, 4), (-2, 3),
+            (-2, -3), (0, -4), (2, -3)]
+    i = 1
+    while True:
+        offs += [(ox * i, oy * i) for (ox, oy) in hex4]
+        i += 1
+        if i > i_me_range // 4:
+            break
+    return offs
+
+
+def _ring_offsets(r: int, s: int):
+    """One expanding square ring (pobExpandingSearch order,
+    PlaneOfBlocks.cpp:635-658)."""
+    offs = []
+    for i in range(-r + s, r, s):
+        offs += [(i, -r), (i, r)]
+    for j in range(-r + s, r, s):
+        offs += [(-r, j), (r, j)]
+    offs += [(-r, -r), (-r, r), (r, -r), (r, r)]
+    return offs
+
+
+def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
+                          global_mv, field_shift, mean_luma_change,
+                          iters: int = 2):
+    """Lock-step variant of search_level: same inputs/outputs."""
+    nbx, nby = ctx.nblk
+    nblk = nbx * nby
+    bsx, bsy = ctx.blk_size
+    bcx, bcy = ctx.blk_size_c
+    ovx, ovy = ctx.overlap
+    logx, logy = ctx.log_ratio_uv
+    hpad, hpad_c = ctx.hpad
+    vpad, vpad_c = ctx.vpad
+    pw, ph = ctx.padded
+    logp = ctx.log_pel
+    level = ctx.level
+    dctmode = level_params["dctmode"]
+    smallest = level_params["smallest_plane"]
+    meander = level_params["meander"]
+    lsad_const = level_params["lsad"]
+    lambda_level = level_params["lambda_level"]
+    pnew = level_params["pnew"]
+
+    engine = SearchEngine(ctx, dctmode, lockstep=True)
+
+    dctweight16 = jnp.minimum(
+        16, jnp.abs(_i32(mean_luma_change)) // (bsx * bsy))
+    hps = hpad >> level
+    vps = vpad >> level
+    gx_scaled = _i32((1 << logp) * global_mv[0])
+    gy_scaled = _i32((1 << logp) * global_mv[1]) + _i32(field_shift)
+
+    src_plane = ctx.src_planes[0].astype(I32)
+    src_u = ctx.src_planes[1].astype(I32) if ctx.chroma else None
+    src_v = ctx.src_planes[2].astype(I32) if ctx.chroma else None
+
+    idx = jnp.arange(nblk, dtype=I32)
+    blky_a = idx // nbx
+    blkx_a = idx % nbx
+    if meander:
+        scan_dir_a = jnp.where((blky_a % 2) == 0, 1, -1).astype(I32)
+    else:
+        scan_dir_a = jnp.ones((nblk,), I32)
+
+    x0_a = _i32(hpad) + (bsx - ovx) * blkx_a
+    y0_a = _i32(vpad) + (bsy - ovy) * blky_a
+    xc_a = _i32(hpad_c) + ((bsx - ovx) >> logx) * blkx_a
+    yc_a = _i32(vpad_c) + ((bsy - ovy) >> logy) * blky_a
+    dxmax_a = (_i32(pw - bsx - hpad + hps) - x0_a) << logp
+    dymax_a = (_i32(ph - bsy - vpad + vps) - y0_a) << logp
+    dxmin_a = -((x0_a - _i32(hpad - hps)) << logp)
+    dymin_a = -((y0_a - _i32(vpad - vps)) << logp)
+    lam0_a = jnp.where(blky_a == 0, _i64(0), _i64(lambda_level))
+    zs_y = _i32(field_shift)
+
+    def slice_block(y0, x0):
+        return jax.lax.dynamic_slice(src_plane, (y0, x0), (bsy, bsx))
+
+    src_blocks = jax.vmap(slice_block)(y0_a, x0_a)          # [nblk,bsy,bsx]
+    if ctx.chroma:
+        src_u_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            src_u, (y, x), (bcy, bcx)))(yc_a, xc_a)
+        src_v_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            src_v, (y, x), (bcy, bcx)))(yc_a, xc_a)
+    else:
+        src_u_blocks = src_v_blocks = None
+
+    if 1 <= dctmode <= 4:
+        dct_src_blocks = jax.vmap(
+            lambda b: dct_ops.dct_block(b, ctx.bits))(src_blocks)
+    else:
+        dct_src_blocks = None
+    if dctmode >= 3:
+        src_luma_blocks = jax.vmap(sad_ops.luma)(src_blocks)
+    else:
+        src_luma_blocks = None
+
+    def predictors_from(vx_a, vy_a, vs_a):
+        """Jacobi neighbour predictors, meander-aware layout
+        (pobFetchPredictors PlaneOfBlocks.cpp:419-463)."""
+        def clip(x, y):
+            return (jnp.clip(x, dxmin_a, dxmax_a - 1),
+                    jnp.clip(y, dymin_a, dymax_a - 1))
+
+        left_ok = jnp.where(scan_dir_a == 1, blkx_a > 0, blkx_a < nbx - 1)
+        li = jnp.clip(idx - scan_dir_a, 0, nblk - 1)
+        p1x, p1y = clip(jnp.where(left_ok, vx_a[li], 0),
+                        jnp.where(left_ok, vy_a[li], zs_y))
+        p1s = jnp.where(left_ok, vs_a[li], _i64(0))
+
+        up_ok = blky_a > 0
+        ui = jnp.clip(idx - nbx, 0, nblk - 1)
+        p2x, p2y = clip(jnp.where(up_ok, vx_a[ui], 0),
+                        jnp.where(up_ok, vy_a[ui], zs_y))
+        p2s = jnp.where(up_ok, vs_a[ui], _i64(0))
+
+        x_ok = jnp.where(scan_dir_a == 1, blkx_a < nbx - 1, blkx_a > 0)
+        br_ok = (blky_a < nby - 1) & x_ok
+        ur_ok = up_ok & x_ok
+        bi = jnp.clip(idx + nbx + scan_dir_a, 0, nblk - 1)
+        uri = jnp.clip(idx - nbx + scan_dir_a, 0, nblk - 1)
+        p3x_raw = jnp.where(br_ok, vx_a[bi], jnp.where(ur_ok, vx_a[uri], 0))
+        p3y_raw = jnp.where(br_ok, vy_a[bi],
+                            jnp.where(ur_ok, vy_a[uri], zs_y))
+        p3s = jnp.where(br_ok, vs_a[bi],
+                        jnp.where(ur_ok, vs_a[uri], _i64(0)))
+        p3x, p3y = clip(p3x_raw, p3y_raw)
+
+        p0x = jnp.where(up_ok, _median3(p1x, p2x, p3x), p1x)
+        p0y = jnp.where(up_ok, _median3(p1y, p2y, p3y), p1y)
+        p0s = jnp.where(up_ok, jnp.maximum(p1s, jnp.maximum(p2s, p3s)), p1s)
+        return (p0x, p0y, p0s), (p1x, p1y), (p2x, p2y), (p3x, p3y)
+
+    pred_in_x = jnp.clip(vectors_in[0], dxmin_a, dxmax_a - 1)
+    pred_in_y = jnp.clip(vectors_in[1], dymin_a, dymax_a - 1)
+    pred_in_s = vectors_in[2]
+
+    # ---- fast path: field-level engine (dctmode 0) ------------------------
+    if dctmode == 0:
+        from . import field_engine as fe
+        bounds = (dxmin_a, dxmax_a, dymin_a, dymax_a)
+        prober = fe.FieldProber(ctx, src_blocks, src_u_blocks,
+                                src_v_blocks, x0_a, y0_a, xc_a, yc_a,
+                                bounds, pnew)
+        if level_params["badrange"] > 0:
+            max_off = level_params["badrange"] * ctx.pel + 4
+        elif level_params["badrange"] < 0:
+            max_off = -level_params["badrange"] * ctx.pel + ctx.pel
+        else:
+            max_off = 1
+        dense = DenseEvaluator(ctx, x0_a, y0_a, xc_a, yc_a,
+                               (max_off >> ctx.log_pel) + 2)
+        vx_a, vy_a, vs_a = vectors_in
+        for it in range(iters):
+            p0, p1, p2, p3 = predictors_from(vx_a, vy_a, vs_a)
+            if smallest:
+                prx, pry, prs = p0
+            else:
+                prx, pry, prs = pred_in_x, pred_in_y, pred_in_s
+            lsad_f = jnp.float64(lsad_const)
+            scale = lsad_f / (lsad_f + (prs >> 1).astype(jnp.float64))
+            lam_a = ((lam0_a.astype(jnp.float64) * scale)
+                     * scale).astype(I64)
+            # the bad-SAD rescue runs once per reference block pass;
+            # intermediate Jacobi sweeps skip it
+            st = fe.field_epz(prober, dense, level_params, zs_y,
+                              gx_scaled, gy_scaled, (prx, pry, prs),
+                              (p0[:2], p1, p2, p3), lam_a, idx,
+                              do_rescue=(it == iters - 1))
+            vx_a, vy_a, vs_a = st["bx"], st["by"], st["bsad"]
+        if smallest:
+            ref0_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+                ctx.ref_stacks[0], (_i32(0), y, x), (1, bsy, bsx))[0]
+            )(y0_a, x0_a)
+            sumluma = jnp.sum(
+                jax.vmap(sad_ops.luma)(ref0_blocks).astype(I64)
+                - jax.vmap(sad_ops.luma)(src_blocks).astype(I64))
+            mean_luma_change = _trunc_div(sumluma, nblk).astype(I32)
+        return (vx_a, vy_a, vs_a), mean_luma_change
+
+    # ---- general path: vmapped per-block engine (dct modes) ---------------
+    lp_norescue = dict(level_params, skip_rescue=True)
+    badsad = level_params["badsad"]
+    badrange = level_params["badrange"]
+    pelf = ctx.pel
+
+    def make_bc(bc_arrays):
+        (src, s_u, s_v, x0, y0, xc, yc, dxmin, dxmax, dymin, dymax,
+         prx, pry, lam, dct_src, src_luma) = bc_arrays
+        return BlockCtx(
+            src=src, src_u=s_u, src_v=s_v, x0=x0, y0=y0, xc=xc, yc=yc,
+            dxmin=dxmin, dxmax=dxmax, dymin=dymin, dymax=dymax,
+            pred_x=prx, pred_y=pry, lam=lam, pnew=_i32(pnew),
+            dct_src=dct_src, src_luma=src_luma, dctweight16=dctweight16)
+
+    def one_block(i, bc_arrays, e_arrays):
+        """Scalar view of block i; vmapped below."""
+        bc = make_bc(bc_arrays)
+        pred, p0, p1, p2, p3 = e_arrays
+        e = EPZ(zero_shift_y=zs_y, global_x=gx_scaled, global_y=gy_scaled,
+                pred=pred, preds=(p0, p1, p2, p3, (_i32(0), _i32(0))),
+                blkidx_seq=i, badcount=_i32(0))
+        st, _ = _pseudo_epz(engine, bc, e, lp_norescue)
+        return st["bx"], st["by"], st["bsad"], st["mincost"]
+
+    def rescue_tail(bc_arrays, stf, bad, use_hex2: bool):
+        """Per-block tail of the bad-SAD rescue (the parts whose centres
+        differ per block): the UMH's hex2 refine and the final pel rings
+        (PlaneOfBlocks.cpp:953-961).  `bad` masks the probes so healthy
+        lanes do no walk iterations."""
+        if not use_hex2 and pelf <= 1:
+            return stf["bx"], stf["by"], stf["bsad"], stf["mincost"]
+
+        def f(bc_arrays, bx, by, bsad, mincost, active):
+            bc = make_bc(bc_arrays)
+            st = {"bx": bx, "by": by, "bsad": bsad, "mincost": mincost,
+                  "dir": _i32(0)}
+            if use_hex2:
+                st = engine.hex2(bc, st, badrange * pelf, active=active)
+            mvx, mvy = st["bx"], st["by"]
+            for i in range(1, pelf):
+                st = engine.expanding(bc, st, i, 1, mvx, mvy, active=active)
+            return st["bx"], st["by"], st["bsad"], st["mincost"]
+
+        return jax.vmap(f)(bc_arrays, stf["bx"], stf["by"], stf["bsad"],
+                           stf["mincost"], bad)
+
+    # dense-rescue displacement sets (uniform across blocks, around (0,0))
+    if badrange > 0:
+        umh_offs = _umh_uniform_offsets(badrange * pelf)
+        max_off = max(max(abs(o[0]), abs(o[1])) for o in umh_offs)
+    elif badrange < 0:
+        max_off = -badrange * pelf + pelf
+    else:
+        max_off = 1
+    dense_pad = (max_off >> ctx.log_pel) + 2
+
+    vx_a, vy_a, vs_a = vectors_in
+    dense = DenseEvaluator(ctx, x0_a, y0_a, xc_a, yc_a, dense_pad)
+    bounds = (dxmin_a, dxmax_a, dymin_a, dymax_a)
+
+    for it in range(iters):
+        p0, p1, p2, p3 = predictors_from(vx_a, vy_a, vs_a)
+        # main predictor: inter-level prediction (or the median on the
+        # coarsest plane), exactly as the exact engine
+        if smallest:
+            prx, pry, prs = p0
+        else:
+            prx, pry, prs = pred_in_x, pred_in_y, pred_in_s
+        # lambda adaptation (float64 islands, PlaneOfBlocks.cpp:461-462)
+        lsad_f = jnp.float64(lsad_const)
+        scale = lsad_f / (lsad_f + (prs >> 1).astype(jnp.float64))
+        lam_a = ((lam0_a.astype(jnp.float64) * scale) * scale).astype(I64)
+
+        bc_arrays = (src_blocks, src_u_blocks, src_v_blocks, x0_a, y0_a,
+                     xc_a, yc_a, dxmin_a, dxmax_a, dymin_a, dymax_a,
+                     prx, pry, lam_a, dct_src_blocks, src_luma_blocks)
+        e_arrays = ((prx, pry, prs), p0[:2], p1, p2, p3)
+        bx, by, bsad, mincost = jax.vmap(one_block)(idx, bc_arrays,
+                                                    e_arrays)
+
+        # ---- field-level bad-SAD rescue (PlaneOfBlocks.cpp:938-963);
+        # badcount feedback is per-block (0) in lockstep mode
+        bad = (idx > 1) & (bsad > _i64(badsad))
+        stf = dict(bx=bx, by=by, bsad=bsad, mincost=mincost)
+        if badrange > 0:
+            stf = dense.check_uniform(stf, umh_offs, bounds, (prx, pry),
+                                      lam_a, pnew, bad)
+            rbx, rby, rbsad, rmin = rescue_tail(bc_arrays, stf, bad, True)
+        elif badrange < 0:
+            found = bsad
+            done = jnp.zeros_like(bad)
+            for i in range(1, -badrange * pelf, pelf):
+                stf = dense.check_uniform(stf, _ring_offsets(i, pelf),
+                                          bounds, (prx, pry), lam_a, pnew,
+                                          bad & ~done)
+                done = done | (stf["bsad"] < found // 4)
+            rbx, rby, rbsad, rmin = rescue_tail(bc_arrays, stf, bad, False)
+        else:
+            rbx, rby, rbsad, rmin = rescue_tail(bc_arrays, stf, bad, False)
+        vx_a = jnp.where(bad, rbx, bx)
+        vy_a = jnp.where(bad, rby, by)
+        vs_a = jnp.where(bad, rbsad, bsad)
+
+    if smallest:
+        ref0_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            ctx.ref_stacks[0], (_i32(0), y, x), (1, bsy, bsx))[0]
+        )(y0_a, x0_a)
+        sumluma = jnp.sum(jax.vmap(sad_ops.luma)(ref0_blocks).astype(I64)
+                          - jax.vmap(sad_ops.luma)(src_blocks).astype(I64))
+        mean_luma_change = _trunc_div(sumluma, nblk).astype(I32)
+    return (vx_a, vy_a, vs_a), mean_luma_change
 
 
 # ---------------------------------------------------------------------------
@@ -1098,13 +1645,21 @@ def _level_ctx(src_super: Super, ref_super: Super, spec: AnalyseSpec,
 
 
 def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
-            field_shift=0) -> MVField:
+            field_shift=0, engine: str = "exact",
+            lockstep_iters: int = 2) -> MVField:
     """Run the full hierarchical search for one frame pair.
 
     src_super / ref_super: Super pyramids of the current and reference
     frame.  Returns an MVField (finest level first; plus the divided
     sub-block level at index 0 if spec.divide).
+
+    engine: "exact" reproduces the reference's sequential Gauss-Seidel
+    block scan bit-exactly (lax.scan over blocks — the parity oracle);
+    "lockstep" is the TPU-native whole-plane search (all blocks per step,
+    Jacobi predictors, `lockstep_iters` sweeps) — the production path.
     """
+    if engine not in ("exact", "lockstep"):
+        raise ValueError(f"Analyse: unknown engine {engine!r}")
     m = spec.meta
     lv_count = m.lv_count
     verybig = m.blk_size_x * m.blk_size_y * (1 << m.bits_per_sample)
@@ -1171,9 +1726,14 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
             meander=spec.meander, lsad=spec.lsad,
             lambda_level=lambda_level, pnew=spec.pnew, verybig=verybig)
 
-        vectors, mean_luma_change = search_level(
-            ctx, spec, level_params, vectors_in, global_mv, fs_cur,
-            mean_luma_change)
+        if engine == "exact":
+            vectors, mean_luma_change = search_level(
+                ctx, spec, level_params, vectors_in, global_mv, fs_cur,
+                mean_luma_change)
+        else:
+            vectors, mean_luma_change = search_level_lockstep(
+                ctx, spec, level_params, vectors_in, global_mv, fs_cur,
+                mean_luma_change, iters=lockstep_iters)
         level_fields[lv] = {"vectors": vectors, "nblk": (nbx, nby)}
 
     levels_out = []

@@ -1,0 +1,598 @@
+"""Field-level lock-step motion search (the TPU production path).
+
+The whole plane of blocks advances through pseudo-EPZ together
+(PlaneOfBlocks.cpp:819-968 semantics, Jacobi predictors instead of the
+reference's Gauss-Seidel raster): every stage is one of exactly two
+TPU-shaped primitives —
+
+* `DenseEvaluator.check_uniform` (analyse.py): a displacement every block
+  shares (zero trial, the rescue cross/hex4 around (0,0)) costs one
+  whole-plane shift + box sums; no gathers at all.
+* `FieldProber.check`: per-block candidates.  One window DMA per
+  (block, centre) via ops.probe.probe_sads; all static offsets around
+  that centre (a hexagon, a ring, an exhaustive square, the walk steps of
+  NSTEP/ONETIME/LOGARITHMIC) are in-register slices of the same window.
+
+Data-dependent search trajectories (hex2's direction walk, diamond's
+last-direction cases) become field-level while-loops whose candidate
+sets are static supersets gated by per-block masks — candidate
+EVALUATION ORDER within a batch matches the reference's enumeration, so
+ties resolve identically wherever the iteration pattern itself coincides.
+
+Not bit-exact vs the sequential engine by design (SURVEY §7 hard part 1):
+neighbour predictors lag one Jacobi iteration and badcount feedback is
+per-block; `analyse(engine="exact")` remains the parity oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.types import SearchType
+from .ops import probe as probe_ops
+
+I32 = jnp.int32
+I64 = jnp.int64
+_INF = jnp.int64(1 << 62)
+
+
+def _i32(x):
+    return jnp.asarray(x, I32)
+
+
+def _i64(x):
+    return jnp.asarray(x, I64)
+
+
+class FieldProber:
+    """Per-block probe evaluation: windows + static offsets.
+
+    Holds the padded subplane stacks and per-block static context of one
+    pyramid level.  All check* methods take and return a field state
+    dict of [nblk] arrays (bx, by, bsad, mincost + extras).
+    """
+
+    PAD = 16  # full-pel window padding beyond the frame's own padding
+
+    def __init__(self, ctx, src_blocks, src_u_blocks, src_v_blocks,
+                 x0_a, y0_a, xc_a, yc_a, bounds, pnew):
+        self.ctx = ctx
+        self.pel = ctx.pel
+        self.logp = ctx.log_pel
+        self.bs = ctx.blk_size
+        self.bsc = ctx.blk_size_c
+        self.chroma = ctx.chroma
+        self.bounds = bounds
+        self.pnew = pnew
+        self.src_blocks = src_blocks.astype(I32)
+        self.stack = probe_ops.pad_stack(ctx.ref_stacks[0], self.PAD)
+        # block origin in padded pel coordinates
+        self.base_y = (y0_a + self.PAD) << self.logp
+        self.base_x = (x0_a + self.PAD) << self.logp
+        if ctx.chroma:
+            logx, logy = ctx.log_ratio_uv
+            padc = max(self.PAD >> logx, self.PAD >> logy, 4)
+            self.padc = padc
+            self.stack_u = probe_ops.pad_stack(ctx.ref_stacks[1], padc)
+            self.stack_v = probe_ops.pad_stack(ctx.ref_stacks[2], padc)
+            self.src_u_blocks = src_u_blocks.astype(I32)
+            self.src_v_blocks = src_v_blocks.astype(I32)
+            self.cbase_y = yc_a
+            self.cbase_x = xc_a
+
+    # -- raw SAD evaluation -------------------------------------------------
+
+    def luma_sads(self, vx, vy, offsets=((0, 0),)):
+        """[nblk, D] luma SADs at per-block candidates (vx, vy) + static
+        pel offsets."""
+        cy = (self.base_y + vy)[:, None]
+        cx = (self.base_x + vx)[:, None]
+        out = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
+                                   offsets, self.bs[1], self.bs[0],
+                                   self.pel)
+        return out[:, 0, :].astype(I64)
+
+    def chroma_sads(self, vx, vy, offsets=((0, 0),)):
+        """[nblk, D] chroma SADs; candidate chroma coordinates follow the
+        negative-bias rounding of pobGetRefBlockU/V
+        (PlaneOfBlocks.cpp:57-77), so each (candidate, offset) pair is an
+        independent probe on the chroma stacks."""
+        if not self.chroma:
+            return jnp.zeros((vx.shape[0], len(offsets)), I64)
+        logx, logy = self.ctx.log_ratio_uv
+        logp = self.logp
+        cand_x = vx[:, None] + jnp.asarray([o[0] for o in offsets],
+                                           I32)[None, :]
+        cand_y = vy[:, None] + jnp.asarray([o[1] for o in offsets],
+                                           I32)[None, :]
+        xbias = jnp.where(cand_x < 0, (1 << logx) - 1, 0)
+        ybias = jnp.where(cand_y < 0, (1 << logy) - 1, 0)
+        cx = (((self.cbase_x + self.padc)[:, None]) << logp) \
+            + ((cand_x + xbias) >> logx)
+        cy = (((self.cbase_y + self.padc)[:, None]) << logp) \
+            + ((cand_y + ybias) >> logy)
+        su = probe_ops.probe_sads(self.stack_u, cy, cx, self.src_u_blocks,
+                                  ((0, 0),), self.bsc[1], self.bsc[0],
+                                  self.pel)[:, :, 0]
+        sv = probe_ops.probe_sads(self.stack_v, cy, cx, self.src_v_blocks,
+                                  ((0, 0),), self.bsc[1], self.bsc[0],
+                                  self.pel)[:, :, 0]
+        return (su + sv).astype(I64)
+
+    # -- check primitives ---------------------------------------------------
+
+    def check(self, st, cand_x, cand_y, offsets=((0, 0),),
+              penalty_new=True, update_xy=True, dir_vals=None,
+              extra_mask=None, lam=None, pred=None):
+        """check_batch semantics over per-block candidates x static
+        offsets, enumerated offset-major in order (first strict
+        improvement wins — pobCheckMV PlaneOfBlocks.cpp:219-261)."""
+        dxmin, dxmax, dymin, dymax = self.bounds
+        cvx = jnp.clip(cand_x, dxmin, dxmax - 1)
+        cvy = jnp.clip(cand_y, dymin, dymax - 1)
+        ls = self.luma_sads(cvx, cvy, offsets)          # [nblk, D]
+        cs = self.chroma_sads(cvx, cvy, offsets)
+        for d, (dx, dy) in enumerate(offsets):
+            vx = cand_x + dx
+            vy = cand_y + dy
+            ok = ((vx >= dxmin) & (vy >= dymin)
+                  & (vx < dxmax) & (vy < dymax))
+            if extra_mask is not None:
+                ok = ok & extra_mask[:, d]
+            # the gathered SAD used clamped coords; exact only when valid
+            sad_tot = ls[:, d] + cs[:, d]
+            pdx = (pred[0] - jnp.clip(vx, dxmin, dxmax - 1)).astype(I32)
+            pdy = (pred[1] - jnp.clip(vy, dymin, dymax - 1)).astype(I32)
+            dist = (pdx * pdx + pdy * pdy).astype(I32)
+            md = ((lam * dist.astype(I64)) >> 8).astype(I32).astype(I64)
+            cost = md + sad_tot
+            if penalty_new:
+                pn = _i64(self.pnew)
+                cost = cost + ((pn * ls[:, d]) >> 8) + ((pn * cs[:, d]) >> 8)
+            cost = jnp.where(ok, cost, _INF)
+            improve = cost < st["mincost"]
+            if update_xy:
+                st = dict(st,
+                          bx=jnp.where(improve, vx, st["bx"]),
+                          by=jnp.where(improve, vy, st["by"]))
+            st = dict(st,
+                      bsad=jnp.where(improve, sad_tot, st["bsad"]),
+                      mincost=jnp.where(improve, cost, st["mincost"]))
+            if dir_vals is not None:
+                st = dict(st, dir=jnp.where(improve, _i32(dir_vals[d]),
+                                            st["dir"]))
+        return st
+
+    def plain_sad(self, vx, vy):
+        """Unmasked SAD at clamped per-block candidates (zero/global/pred
+        trials clamp beforehand and skip the bounds check)."""
+        ls = self.luma_sads(vx, vy)[:, 0]
+        cs = self.chroma_sads(vx, vy)[:, 0]
+        return ls + cs
+
+
+def _ring_offsets(r, s):
+    offs = []
+    for i in range(-r + s, r, s):
+        offs += [(i, -r), (i, r)]
+    for j in range(-r + s, r, s):
+        offs += [(-r, j), (r, j)]
+    offs += [(-r, -r), (-r, r), (r, -r), (r, r)]
+    return offs
+
+
+def _expanding(p: FieldProber, st, r, s, cx, cy, lam, pred, active=None):
+    offs = _ring_offsets(r, s)
+    em = (None if active is None
+          else jnp.broadcast_to(active[:, None], (active.shape[0],
+                                                  len(offs))))
+    return p.check(st, cx, cy, offs, lam=lam, pred=pred, extra_mask=em)
+
+
+def _exhaustive(p, st, radius, lam, pred, active=None):
+    offs = []
+    for r in range(1, radius + 1):
+        offs += _ring_offsets(r, 1)
+    em = (None if active is None
+          else jnp.broadcast_to(active[:, None], (active.shape[0],
+                                                  len(offs))))
+    return p.check(st, st["bx"], st["by"], offs, lam=lam, pred=pred,
+                   extra_mask=em)
+
+
+_HEXP = [(-1, -2), (-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2),
+         (-1, -2), (-2, 0)]
+_MOD6M1 = [5, 0, 1, 2, 3, 4, 5, 0]
+
+
+def _hex2(p: FieldProber, st, i_me_range, lam, pred, active=None):
+    """pobHex2Search (PlaneOfBlocks.cpp:661-724) at field level: the
+    direction walk probes the full 8-entry hexagon window with a
+    direction-dependent per-block mask."""
+    nblk = st["bx"].shape[0]
+    hx = jnp.asarray([h[0] for h in _HEXP], I32)
+    hy = jnp.asarray([h[1] for h in _HEXP], I32)
+    m6 = jnp.asarray(_MOD6M1, I32)
+    bmx, bmy = st["bx"], st["by"]
+
+    def act(mask):
+        return mask if active is None else (mask & active)
+
+    if i_me_range > 1:
+        st = dict(st, dir=jnp.full((nblk,), -2, I32))
+        offs = [(-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2), (-1, -2)]
+        em = jnp.broadcast_to(act(jnp.ones((nblk,), bool))[:, None],
+                              (nblk, 6))
+        st = p.check(st, bmx, bmy, offs, update_xy=False,
+                     dir_vals=[0, 1, 2, 3, 4, 5], extra_mask=em,
+                     lam=lam, pred=pred)
+
+        walked = st["dir"] != -2
+        d0 = jnp.clip(st["dir"], -1, 6)
+        bmx = jnp.where(walked, bmx + hx[d0 + 1], bmx)
+        bmy = jnp.where(walked, bmy + hy[d0 + 1], bmy)
+
+        dxmin, dxmax, dymin, dymax = p.bounds
+
+        def in_bounds(x, y):
+            return (x >= dxmin) & (y >= dymin) & (x < dxmax) & (y < dymax)
+
+        # candidate superset = the 8 hexp entries; per block, entries
+        # odir, odir+1, odir+2 are live, in that order (the reference
+        # checks them in exactly this order)
+        live_table = np.zeros((6, 8), bool)
+        for odir in range(6):
+            live_table[odir, odir:odir + 3] = True
+        live_tbl = jnp.asarray(live_table)
+
+        def cond(c):
+            st, bmx, bmy, i, walking = c
+            return jnp.any(walking & (i < i_me_range // 2))
+
+        def body(c):
+            st, bmx, bmy, i, walking = c
+            walking = (walking & (i < i_me_range // 2)
+                       & in_bounds(bmx, bmy) & (st["dir"] != -2))
+            odir = m6[jnp.clip(st["dir"], -1, 6) + 1]
+            st2 = dict(st, dir=jnp.full((nblk,), -2, I32))
+            mask = live_tbl[odir] & act(walking)[:, None]
+            dirs8 = [od - 1 for od in range(-1, 7)]
+            # dir value for entry e when odir=od is e-1 (odir-1, odir,
+            # odir+1 for entries odir..odir+2)
+            st2 = p.check(st2, bmx, bmy, _HEXP, update_xy=False,
+                          dir_vals=[e - 1 for e in range(8)],
+                          extra_mask=mask, lam=lam, pred=pred)
+            moved = st2["dir"] != -2
+            d = jnp.clip(st2["dir"], -1, 6)
+            bmx2 = jnp.where(moved & walking, bmx + hx[d + 1], bmx)
+            bmy2 = jnp.where(moved & walking, bmy + hy[d + 1], bmy)
+            st3 = {k: jnp.where(walking, st2[k], st[k]) for k in st}
+            return (st3, bmx2, bmy2, i + 1, walking & moved)
+
+        st, bmx, bmy, _, _ = jax.lax.while_loop(
+            cond, body, (st, bmx, bmy, _i32(1), walked))
+        st = dict(st, bx=bmx, by=bmy)
+
+    return _expanding(p, st, 1, 1, st["bx"], st["by"], lam, pred,
+                      active=active)
+
+
+def _umh(p, st, i_me_range, cx, cy, lam, pred, active=None):
+    """pobUMHSearch around a per-block centre (PlaneOfBlocks.cpp:742-769)."""
+    offs = []
+    for i in range(1, i_me_range, 2):
+        offs += [(-i, 0), (i, 0)]
+    for j in range(1, i_me_range, 2):
+        offs += [(0, -j), (0, j)]
+    hex4 = [(-4, 2), (-4, 1), (-4, 0), (-4, -1), (-4, -2), (4, -2),
+            (4, -1), (4, 0), (4, 1), (4, 2), (2, 3), (0, 4), (-2, 3),
+            (-2, -3), (0, -4), (2, -3)]
+    i = 1
+    while True:
+        offs += [(ox * i, oy * i) for (ox, oy) in hex4]
+        i += 1
+        if i > i_me_range // 4:
+            break
+    if offs:
+        em = (None if active is None
+              else jnp.broadcast_to(active[:, None],
+                                    (active.shape[0], len(offs))))
+        st = p.check(st, cx, cy, offs, extra_mask=em, lam=lam, pred=pred)
+    return _hex2(p, st, i_me_range, lam, pred, active=active)
+
+
+def _nstep(p, st, stp, lam, pred):
+    for length in range(stp, 0, -1):
+        offs = [(length, length), (length, 0), (length, -length),
+                (0, -length), (0, length), (-length, length),
+                (-length, 0), (-length, -length)]
+        st = p.check(st, st["bx"], st["by"], offs, lam=lam, pred=pred)
+    return st
+
+
+def _onetime(p, st, length, lam, pred):
+    """pobOneTimeSearch (PlaneOfBlocks.cpp:488-527), field level."""
+    nblk = st["bx"].shape[0]
+    st = dict(st, dir=jnp.zeros((nblk,), I32))
+    dx0, dy0 = st["bx"], st["by"]
+    st = p.check(st, dx0, dy0, [(-length, 0), (length, 0)],
+                 dir_vals=[2, 1], lam=lam, pred=pred)
+
+    def walk(st, fixed, start, axis):
+        sign = jnp.where(st["dir"] == 2, _i32(-1), _i32(1))
+        st0 = dict(st, dir=jnp.where(st["dir"] != 0, _i32(1), _i32(0)))
+
+        def cond(c):
+            return jnp.any(c[0]["dir"] != 0)
+
+        def body(c):
+            s, d = c
+            alive = s["dir"] != 0
+            s2 = dict(s, dir=jnp.zeros((nblk,), I32))
+            d2 = jnp.where(alive, d + sign * length, d)
+            probe_c = d2 + sign * length
+            vx = probe_c if axis == 0 else fixed
+            vy = fixed if axis == 0 else probe_c
+            s2 = p.check(s2, vx, vy, [(0, 0)], dir_vals=[1],
+                         extra_mask=alive[:, None], lam=lam, pred=pred)
+            s3 = {k: jnp.where(alive, s2[k], s[k]) for k in s2}
+            return (s3, d2)
+
+        return jax.lax.while_loop(cond, body, (st0, start))
+
+    st, dx1 = walk(st, dy0, dx0, 0)
+    st = dict(st, dir=jnp.zeros((nblk,), I32))
+    st = p.check(st, dx1, dy0, [(0, -length), (0, length)],
+                 dir_vals=[2, 1], lam=lam, pred=pred)
+    st, _ = walk(st, dx1, dy0, 1)
+    return st
+
+
+def _diamond(p, st, length, lam, pred):
+    """pobDiamondSearch (PlaneOfBlocks.cpp:530-632), field level with
+    masked direction cases."""
+    nblk = st["bx"].shape[0]
+    R, L, D, U = 1, 2, 4, 8
+    st = dict(st, dir=jnp.full((nblk,), 15, I32))
+    pp = (length, length)
+    mp = (-length, length)
+    pm = (length, -length)
+    mm = (-length, -length)
+    diag_order = (pp, mp, pm, mm)
+    diag_dirs = [R + D, L + D, R + U, L + U]
+    cases = {
+        R: (pp, pm), L: (mp, mm), D: (pp, mp), U: (pm, mm),
+        R + D: (pp, mp, pm), L + D: (pp, mp, mm),
+        R + U: (pp, mm, pm), L + U: (mm, mp, pm),
+    }
+    default = (pp, mp, pm, mm)
+    table = np.zeros((16, 4), bool)
+    for case in range(16):
+        offs = cases.get(case, default)
+        for kk, o in enumerate(diag_order):
+            table[case, kk] = o in offs
+    diag_tbl = jnp.asarray(table)
+
+    def cond(c):
+        st, last = c
+        return jnp.any(st["dir"] > 0)
+
+    def body(c):
+        st, _ = c
+        alive = st["dir"] > 0
+        last = st["dir"]
+        st2 = dict(st, dir=jnp.zeros((nblk,), I32))
+        axis_offs = [(length, 0), (-length, 0), (0, length), (0, -length)]
+        mask = jnp.stack([(last & R) != 0, (last & L) != 0,
+                          (last & D) != 0, (last & U) != 0],
+                         axis=1) & alive[:, None]
+        st2 = p.check(st2, st["bx"], st["by"], axis_offs,
+                      dir_vals=[R, L, D, U], extra_mask=mask,
+                      lam=lam, pred=pred)
+        found = st2["dir"]
+
+        # improved branch: perpendicular probes
+        horiz = (found & (R + L)) != 0
+        perp_mask = jnp.stack([horiz, horiz, ~horiz, ~horiz], axis=1) \
+            & (found != 0)[:, None] & alive[:, None]
+        perp_offs = [(0, length), (0, -length), (length, 0), (-length, 0)]
+        st_imp = p.check(dict(st2), st2["bx"], st2["by"], perp_offs,
+                         dir_vals=[D, U, R, L], extra_mask=perp_mask,
+                         lam=lam, pred=pred)
+
+        # diagonals branch for blocks that found nothing on the axes
+        diag_mask = diag_tbl[jnp.clip(last, 0, 15)] \
+            & (found == 0)[:, None] & alive[:, None]
+        st_diag = p.check(dict(st2), st["bx"], st["by"],
+                          list(diag_order), dir_vals=diag_dirs,
+                          extra_mask=diag_mask, lam=lam, pred=pred)
+
+        st3 = {k: jnp.where(found != 0, st_imp[k], st_diag[k])
+               for k in st2}
+        st4 = {k: jnp.where(alive, st3[k], st[k]) for k in st3}
+        return (st4, last)
+
+    st, _ = jax.lax.while_loop(cond, body,
+                               (st, jnp.full((nblk,), 15, I32)))
+    return st
+
+
+def refine(p: FieldProber, st, search: SearchType, param: int, lam, pred,
+           active=None):
+    """pobRefine (PlaneOfBlocks.cpp:772-816), field level."""
+    if search == SearchType.ONETIME:
+        i = param
+        while i > 0:
+            st = _onetime(p, st, i, lam, pred)
+            i //= 2
+    elif search == SearchType.NSTEP:
+        st = _nstep(p, st, param, lam, pred)
+    elif search == SearchType.LOGARITHMIC:
+        i = param
+        while i > 0:
+            st = _diamond(p, st, i, lam, pred)
+            i //= 2
+    elif search == SearchType.EXHAUSTIVE:
+        st = _exhaustive(p, st, param, lam, pred, active=active)
+    elif search == SearchType.HEX2:
+        st = _hex2(p, st, param, lam, pred, active=active)
+    elif search == SearchType.UMH:
+        st = _umh(p, st, param, st["bx"], st["by"], lam, pred,
+                  active=active)
+    elif search == SearchType.HORIZONTAL:
+        offs = []
+        for i in range(1, param + 1):
+            offs += [(-i, 0), (i, 0)]
+        st = p.check(st, st["bx"], st["by"], offs, lam=lam, pred=pred)
+    elif search == SearchType.VERTICAL:
+        offs = []
+        for i in range(1, param + 1):
+            offs += [(0, -i), (0, i)]
+        st = p.check(st, st["bx"], st["by"], offs, lam=lam, pred=pred)
+    else:
+        raise ValueError(search)
+    return st
+
+
+def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
+              pred_main, preds, lam, idx, do_rescue: bool = True):
+    """Whole-plane pseudo-EPZ for one Jacobi iteration
+    (pobPseudoEPZSearch PlaneOfBlocks.cpp:819-968, dctmode 0).
+
+    pred_main: (x, y, sad) main predictor arrays; preds: list of 4
+    (x, y) predictor pairs; lam: adapted lambda per block.  Returns the
+    field state dict.
+    """
+    search = level_params["search"]
+    param = level_params["param"]
+    pzero = level_params["pzero"]
+    pglobal = level_params["pglobal"]
+    badsad = level_params["badsad"]
+    badrange = level_params["badrange"]
+    trymany = level_params["trymany"]
+    verybig = level_params["verybig"]
+    pel = p.pel
+    nblk = pred_main[0].shape[0]
+    dxmin, dxmax, dymin, dymax = p.bounds
+    prx, pry, prs = pred_main
+    pred = (prx, pry)
+
+    # ---- zero trial (dense; no bounds check, chroma at (0,0)) ------------
+    sad0 = (dense.luma_sads(_i32(0), zs_y)
+            + dense.chroma_sads(_i32(0), _i32(0)))
+    st = dict(bx=jnp.zeros((nblk,), I32),
+              by=jnp.full((nblk,), 1, I32) * zs_y,
+              bsad=sad0,
+              mincost=sad0 + ((_i64(pzero) * sad0) >> 8),
+              dir=jnp.zeros((nblk,), I32))
+    results = []
+    if trymany:
+        st = refine(p, st, search, param, lam, pred)
+        results.append(st)
+
+    # ---- global trial ------------------------------------------------------
+    gxc = jnp.clip(jnp.broadcast_to(gx, (nblk,)), dxmin, dxmax - 1)
+    gyc = jnp.clip(jnp.broadcast_to(gy, (nblk,)), dymin, dymax - 1)
+    sad_g = p.plain_sad(gxc, gyc)
+    cost_g = sad_g + ((_i64(pglobal) * sad_g) >> 8)
+    take = (cost_g < st["mincost"]) | trymany
+    st = dict(st,
+              bx=jnp.where(take, gxc, st["bx"]),
+              by=jnp.where(take, gyc, st["by"]),
+              bsad=jnp.where(take, sad_g, st["bsad"]),
+              mincost=jnp.where(take, cost_g, st["mincost"]))
+    if trymany:
+        st = refine(p, st, search, param, lam, pred)
+        results.append(st)
+
+    # ---- main predictor (cost = plain sad) ---------------------------------
+    sad_p = p.plain_sad(prx, pry)
+    take = (sad_p < st["mincost"]) | trymany
+    st = dict(st,
+              bx=jnp.where(take, prx, st["bx"]),
+              by=jnp.where(take, pry, st["by"]),
+              bsad=jnp.where(take, sad_p, st["bsad"]),
+              mincost=jnp.where(take, sad_p, st["mincost"]))
+    if trymany:
+        st = refine(p, st, search, param, lam, pred)
+        results.append(st)
+
+    # ---- neighbour predictors (bounds + MD, no penaltyNew) -----------------
+    if trymany:
+        for i in range(4):
+            st = dict(st, mincost=jnp.full((nblk,), verybig + 1, I64))
+            qx, qy = preds[i]
+            st = p.check(st, qx, qy, penalty_new=False, lam=lam, pred=pred)
+            st = refine(p, st, search, param, lam, pred)
+            results.append(st)
+        costs = jnp.stack([r["mincost"] for r in results])
+        k = jnp.argmin(costs, axis=0)
+        improve = jnp.take_along_axis(costs, k[None], axis=0)[0] \
+            < verybig + 1
+        pick = lambda key: jnp.take_along_axis(
+            jnp.stack([r[key] for r in results]), k[None], axis=0)[0]
+        st = dict(st,
+                  bx=jnp.where(improve, pick("bx"), st["bx"]),
+                  by=jnp.where(improve, pick("by"), st["by"]),
+                  bsad=jnp.where(improve, pick("bsad"), st["bsad"]),
+                  mincost=jnp.where(improve, pick("mincost"),
+                                    st["mincost"]))
+    else:
+        for i in range(4):
+            qx, qy = preds[i]
+            st = p.check(st, qx, qy, penalty_new=False, lam=lam, pred=pred)
+        st = refine(p, st, search, param, lam, pred)
+
+    # ---- bad-SAD rescue (PlaneOfBlocks.cpp:938-963) ------------------------
+    if not do_rescue:
+        return st
+    found_sad = st["bsad"]
+    bad = (idx > 1) & (found_sad > _i64(badsad))
+    pelf = pel
+    if badrange > 0:
+        # cross + hex4 around (0,0) are uniform -> dense; the hex2 tail
+        # walks per block
+        offs = _umh_uniform_offsets(badrange * pelf)
+        stf = dense.check_uniform(
+            {"bx": st["bx"], "by": st["by"], "bsad": st["bsad"],
+             "mincost": st["mincost"]},
+            offs, p.bounds, pred, lam, p.pnew, bad)
+        st = dict(st, **stf)
+        st = _hex2(p, st, badrange * pelf, lam, pred, active=bad)
+    elif badrange < 0:
+        done = jnp.zeros((nblk,), bool)
+        for i in range(1, -badrange * pelf, pelf):
+            stf = dense.check_uniform(
+                {"bx": st["bx"], "by": st["by"], "bsad": st["bsad"],
+                 "mincost": st["mincost"]},
+                _ring_offsets(i, pelf), p.bounds, pred, lam, p.pnew,
+                bad & ~done)
+            st = dict(st, **stf)
+            done = done | (st["bsad"] < found_sad // 4)
+    if pelf > 1:
+        mvx, mvy = st["bx"], st["by"]
+        for i in range(1, pelf):
+            st = _expanding(p, st, i, 1, mvx, mvy, lam, pred, active=bad)
+    return st
+
+
+def _umh_uniform_offsets(i_me_range: int):
+    offs = []
+    for i in range(1, i_me_range, 2):
+        offs += [(-i, 0), (i, 0)]
+    for j in range(1, i_me_range, 2):
+        offs += [(0, -j), (0, j)]
+    hex4 = [(-4, 2), (-4, 1), (-4, 0), (-4, -1), (-4, -2), (4, -2),
+            (4, -1), (4, 0), (4, 1), (4, 2), (2, 3), (0, 4), (-2, 3),
+            (-2, -3), (0, -4), (2, -3)]
+    i = 1
+    while True:
+        offs += [(ox * i, oy * i) for (ox, oy) in hex4]
+        i += 1
+        if i > i_me_range // 4:
+            break
+    return offs

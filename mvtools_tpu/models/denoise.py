@@ -24,13 +24,18 @@ from ..super import build_super
 
 
 def degrain1_frame(cur_planes, prev_planes, next_planes, sspec, aspec_b,
-                   aspec_f, dcfg):
-    """Denoise one frame given its neighbours (pure, jittable)."""
+                   aspec_f, dcfg, engine: str = "lockstep"):
+    """Denoise one frame given its neighbours (pure, jittable).
+
+    The production path uses the lock-step whole-plane search engine
+    (analyse.search_level_lockstep) — pass engine="exact" for the
+    reference-parity sequential engine.
+    """
     sup_cur = build_super(cur_planes, sspec)
     sup_prev = build_super(prev_planes, sspec)
     sup_next = build_super(next_planes, sspec)
-    mv_b = analyse(sup_cur, sup_next, aspec_b)
-    mv_f = analyse(sup_cur, sup_prev, aspec_f)
+    mv_b = analyse(sup_cur, sup_next, aspec_b, engine=engine)
+    mv_f = analyse(sup_cur, sup_prev, aspec_f, engine=engine)
     return degrain(cur_planes, [sup_next, sup_prev], [mv_b, mv_f],
                    aspec_b.meta, dcfg)
 
@@ -38,7 +43,8 @@ def degrain1_frame(cur_planes, prev_planes, next_planes, sspec, aspec_b,
 def degrain1_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
                   scfg: SuperConfig = SuperConfig(),
                   acfg: AnalyseConfig = AnalyseConfig(),
-                  dcfg: DegrainConfig = DegrainConfig()):
+                  dcfg: DegrainConfig = DegrainConfig(),
+                  engine: str = "exact"):
     """Denoise a whole clip.  clip_planes: [T, H, W] per color plane.
 
     Frame t uses neighbours t-1 / t+1 (wrapped at the clip edges via roll —
@@ -56,8 +62,11 @@ def degrain1_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
     nexts = [jnp.roll(p, -1, axis=0) for p in clip_planes]
 
     def per_frame(cur, prev, nxt):
+        # the clip path vmaps frames over the search; the exact engine
+        # default keeps that composition light (the lockstep engine is a
+        # per-frame production path — loop frames instead of vmapping)
         return degrain1_frame(list(cur), list(prev), list(nxt), sspec,
-                              aspec_b, aspec_f, dcfg)
+                              aspec_b, aspec_f, dcfg, engine=engine)
 
     out = jax.vmap(per_frame)(tuple(clip_planes), tuple(prevs), tuple(nexts))
     return list(out)

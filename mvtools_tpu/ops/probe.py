@@ -1,0 +1,311 @@
+"""Batched block-probe SAD kernel — the innermost op of motion search.
+
+The reference's innermost loop is one SAD per candidate vector per block
+(pobCheckMV_Template PlaneOfBlocks.cpp:219-261 over pobGetRefBlock's
+pel-plane pointer math :34-54).  On TPU the equivalent XLA gather costs
+~1.4us per offset row regardless of row size, so the kernel here changes
+the unit of work: ONE window DMA per (block, candidate-centre) fetches a
+[pel^2, w, w] patch of the subplane stack big enough for a whole STATIC
+pel-offset set, and every candidate SAD is then a stride-1 dynamic slice
+(subplane index + full-pel offset derived from the candidate's parity,
+exactly the `(x&pel-1)|((y&pel-1)<<logpel)` addressing of
+MVFrame.cpp:1707-1754) + a VPU reduction.  A hexagon probe (6
+candidates), an exhaustive ring set (24), or a single predictor trial
+each cost one DMA per block.
+
+Two implementations with identical semantics:
+  * probe_sads_pallas — TPU Pallas kernel, multi-buffered async DMA.
+  * probe_sads_xla    — vmapped dynamic-slice fallback (CPU tests).
+
+Coordinates: candidates are PEL-space positions of the block origin
+including the frame padding and the extra probe padding applied by
+pad_stack (i.e. (hpad + probe_pad + x) * pel + vx).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+
+
+# extra bottom/right padding so tile-aligned window reads (start aligned
+# down to the (8, 128) grid, sizes rounded up to the u8 (32, 128) VMEM
+# tile) stay in bounds
+ALIGN_SLACK_Y = 48
+ALIGN_SLACK_X = 256
+
+
+def pad_stack(stack: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Edge-pad every subplane of a [pel^2, ph, pw] stack by `pad`
+    full-pel pixels (plus alignment slack on the bottom/right) so any
+    probe window read stays in bounds."""
+    if stack.ndim == 2:
+        stack = stack[None]
+    return jnp.pad(stack, ((0, 0), (pad, pad + ALIGN_SLACK_Y),
+                           (pad, pad + ALIGN_SLACK_X)), mode="edge")
+
+
+def _window_geom(offsets, bs_y: int, bs_x: int, pel: int):
+    """Full-pel window size and base pel-offset for a static offset set."""
+    logp = pel.bit_length() - 1
+    min_dx = min(o[0] for o in offsets)
+    max_dx = max(o[0] for o in offsets)
+    min_dy = min(o[1] for o in offsets)
+    max_dy = max(o[1] for o in offsets)
+    # full-pel span: positions (c+d)>>logp for d in [min_d, max_d]
+    wy = bs_y + ((max_dy >> logp) - (min_dy >> logp)) + 1
+    wx = bs_x + ((max_dx >> logp) - (min_dx >> logp)) + 1
+    return min_dx, min_dy, wy, wx
+
+
+def probe_sads_xla(stack, cand_y, cand_x, src_blocks, offsets,
+                   bs_y: int, bs_x: int, pel: int):
+    """Reference implementation: [nblk, K, D] int32 SADs.
+
+    stack: [pel^2, Hp, Wp] padded subplane stack (pad_stack output);
+    cand_y/cand_x: [nblk, K] candidate pel positions (see module doc);
+    src_blocks: [nblk, bs_y, bs_x] int32;
+    offsets: static [(dx, dy), ...] pel offsets evaluated per candidate.
+    """
+    logp = pel.bit_length() - 1
+    pelm = pel - 1
+    min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
+
+    def per_cand(cy, cx, src):
+        wb_y = (cy + min_dy) >> logp
+        wb_x = (cx + min_dx) >> logp
+        win = jax.lax.dynamic_slice(
+            stack, (jnp.int32(0), wb_y, wb_x),
+            (pel * pel, wy, wx)).astype(I32)
+        sads = []
+        for (dx, dy) in offsets:
+            ay = cy + dy
+            ax = cx + dx
+            sub = (ax & pelm) | ((ay & pelm) << logp)
+            oy = (ay >> logp) - wb_y
+            ox = (ax >> logp) - wb_x
+            blk = jax.lax.dynamic_slice(win, (sub, oy, ox),
+                                        (1, bs_y, bs_x))[0]
+            sads.append(jnp.sum(jnp.abs(blk - src)).astype(I32))
+        return jnp.stack(sads)
+
+    return jax.vmap(jax.vmap(per_cand, in_axes=(0, 0, None)))(
+        cand_y, cand_x, src_blocks)
+
+
+def _offset_classes(offsets, pel):
+    """Distinct (dy mod pel, dx mod pel) parity classes of an offset set,
+    in first-appearance order; only these subplanes are DMA'd."""
+    classes = []
+    for (dx, dy) in offsets:
+        c = (dy % pel, dx % pel)
+        if c not in classes:
+            classes.append(c)
+    return classes
+
+
+def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
+                  win_scratch, coord_smem, sems, coord_sem, *,
+                  offsets, bs_y, bs_x, pel, chunk, k):
+    logp = pel.bit_length() - 1
+    pelm = np.int32(pel - 1)
+    min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
+    # DMA slice shapes must be tile-aligned: copy a full tile-rounded
+    # window, enlarged by the max align-down shift (8, 128); pad_stack
+    # guarantees the overshoot stays in bounds
+    wy = -(-(wy + 8) // 32) * 32
+    wx = -(-(wx + 128) // 128) * 128
+    classes = _offset_classes(offsets, pel)
+    n_dma = chunk * k
+    n_buf = win_scratch.shape[0]
+    g = pl.program_id(0)
+
+    # fetch this chunk's candidate coordinates into SMEM (a full-clip
+    # scalar-prefetch array would be tiled out to 128 lanes and overflow)
+    row = pl.multiple_of(g * np.int32(chunk), chunk)
+    cpy = pltpu.make_async_copy(cy_ref.at[pl.ds(row, chunk)],
+                                coord_smem.at[np.int32(0)],
+                                coord_sem)
+    cpy.start()
+    cpy.wait()
+    cpx = pltpu.make_async_copy(cx_ref.at[pl.ds(row, chunk)],
+                                coord_smem.at[np.int32(1)],
+                                coord_sem)
+    cpx.start()
+    cpx.wait()
+
+    def center(t):
+        b = t // k
+        kk = t % k
+        return (coord_smem[np.int32(0), np.int32(b), np.int32(kk)],
+                coord_smem[np.int32(1), np.int32(b), np.int32(kk)])
+
+    def window_base(t):
+        cy, cx = center(t)
+        wb_y = (cy + np.int32(min_dy)) >> logp
+        wb_x = (cx + np.int32(min_dx)) >> logp
+        # DMA start offsets must be tile-aligned: align down, compensate
+        # with an in-register rotate after the copy (multiple_of lets the
+        # Mosaic divisibility prover accept the masked index)
+        ay = pl.multiple_of(wb_y & np.int32(~7), 8)
+        ax = pl.multiple_of(wb_x & np.int32(~127), 128)
+        return ay, ax, wb_y & np.int32(7), wb_x & np.int32(127)
+
+    def make_dmas(t, slot):
+        """One copy per needed parity class (dynamic subplane index)."""
+        ay, ax, _, _ = window_base(t)
+        cy, cx = center(t)
+        copies = []
+        for ci, (py, px) in enumerate(classes):
+            sub = (((cx & pelm) + np.int32(px)) & pelm) \
+                | ((((cy & pelm) + np.int32(py)) & pelm) << logp)
+            copies.append(pltpu.make_async_copy(
+                stack_ref.at[sub, pl.ds(ay, wy), pl.ds(ax, wx)],
+                win_scratch.at[np.int32(slot), np.int32(ci)],
+                sems.at[np.int32(slot)]))
+        return copies
+
+    def start_dmas(t, slot):
+        for c in make_dmas(t, slot):
+            c.start()
+
+    def wait_dmas(t, slot):
+        for c in make_dmas(t, slot):
+            c.wait()
+
+    for t in range(min(n_buf, n_dma)):
+        start_dmas(t, t)
+
+    def case_geometry(qy, qx, dy, dx):
+        """Static window-relative (oy, ox) when the candidate parity is
+        (qy, qx) — every dynamic index reduces to one of pel^2 static
+        cases (Mosaic has no unaligned dynamic vector slices); the
+        subplane is the offset's parity class, independent of (qy, qx)."""
+        oy = ((qy + dy) >> logp) - ((qy + min_dy) >> logp)
+        ox = ((qx + dx) >> logp) - ((qx + min_dx) >> logp)
+        return oy, ox
+
+    for b in range(chunk):
+        src = src_ref[b].astype(jnp.int32)
+        rows = []
+        for kk in range(k):
+            t = b * k + kk
+            slot = t % n_buf
+            wait_dmas(t, slot)
+            cy, cx = center(t)
+            _, _, ry, rx = window_base(t)
+            # un-rotate the alignment shift so window-relative indices
+            # match the unaligned base (dynamic rotate needs 32-bit data)
+            planes = []
+            for ci in range(len(classes)):
+                w2 = win_scratch[slot, ci].astype(jnp.int32)
+                w2 = pltpu.roll(w2, -ry, 0)
+                w2 = pltpu.roll(w2, -rx, 1)
+                planes.append(w2)
+            par_y = cy & pelm
+            par_x = cx & pelm
+            sads = []
+            for (dx, dy) in offsets:
+                ci = classes.index((dy % pel, dx % pel))
+                # select the parity case on the block VECTORS first, then
+                # do a single SAD (vector selects are much cheaper than
+                # pel^2 redundant reductions)
+                blk = None
+                for qy in range(pel):
+                    for qx in range(pel):
+                        oy, ox = case_geometry(qy, qx, dy, dx)
+                        cand = jax.lax.slice(
+                            planes[ci], (oy, ox),
+                            (oy + bs_y, ox + bs_x))
+                        if blk is None:
+                            blk = cand
+                        else:
+                            sel = ((par_y == np.int32(qy))
+                                   & (par_x == np.int32(qx)))
+                            blk = jnp.where(sel, cand, blk)
+                # i64-free SAD: two exact f32 partial sums
+                v = jnp.abs(blk - src)
+                lo = jnp.sum((v & 255).astype(jnp.float32))
+                hi = jnp.sum((v >> 8).astype(jnp.float32))
+                sads.append(lo.astype(jnp.int32)
+                            + (hi.astype(jnp.int32) << 8))
+            rows.append(jnp.stack(sads))
+            nxt = t + n_buf
+            if nxt < n_dma:
+                start_dmas(nxt, slot)
+        # vector store per block (scalar VMEM stores are unsupported)
+        out_ref[b] = jnp.stack(rows)
+
+
+def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
+                      bs_y: int, bs_x: int, pel: int,
+                      chunk: int = 16, n_buf: int = 8):
+    """Pallas TPU version of probe_sads_xla: [nblk, K, D] int32 SADs."""
+    nblk, kk = cand_y.shape
+    offsets = tuple(tuple(int(v) for v in o) for o in offsets)
+    _, _, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
+    wy = -(-(wy + 8) // 32) * 32
+    wx = -(-(wx + 128) // 128) * 128
+
+    pad_blk = (-nblk) % chunk
+    if pad_blk:
+        cand_y = jnp.pad(cand_y, ((0, pad_blk), (0, 0)), mode="edge")
+        cand_x = jnp.pad(cand_x, ((0, pad_blk), (0, 0)), mode="edge")
+        src_blocks = jnp.pad(src_blocks, ((0, pad_blk), (0, 0), (0, 0)))
+    n = cand_y.shape[0]
+    grid = n // chunk
+    # pad the candidate axis to a full 128-lane row so the per-chunk
+    # coordinate DMA into SMEM is tile-aligned
+    cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
+    cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
+
+    kernel = functools.partial(
+        _probe_kernel, offsets=offsets, bs_y=bs_y, bs_x=bs_x, pel=pel,
+        chunk=chunk, k=kk)
+
+    z = np.int32(0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # cand_y in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # cand_x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # subplane stack in HBM
+            pl.BlockSpec((chunk, src_blocks.shape[1],
+                          src_blocks.shape[2]),
+                         lambda g: (g, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, kk, len(offsets)),
+                               lambda g: (g, z, z),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, len(_offset_classes(offsets, pel)),
+                        wy, wx), stack.dtype),
+            pltpu.SMEM((2, chunk, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, kk, len(offsets)), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(cand_y, cand_x, stack, src_blocks)
+    return out[:nblk]
+
+
+def probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
+               bs_y: int, bs_x: int, pel: int):
+    """Backend dispatch: Pallas on TPU, vmapped slices elsewhere."""
+    if jax.default_backend() == "tpu":
+        return probe_sads_pallas(stack, cand_y, cand_x,
+                                 src_blocks.astype(I32), offsets,
+                                 bs_y, bs_x, pel)
+    return probe_sads_xla(stack, cand_y, cand_x, src_blocks.astype(I32),
+                          offsets, bs_y, bs_x, pel)
