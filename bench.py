@@ -22,17 +22,22 @@ import time
 
 import numpy as np
 
-# Stored single-CPU-thread throughput of this pipeline (frames/s), measured
-# with MVT_BENCH_CPU=1 on the build machine.  Updated when the pipeline
-# changes.
-CPU_BASELINE_FPS = None  # filled in after first calibration run
+# Stored CPU throughput of this pipeline (frames/s), measured with
+# MVT_BENCH_CPU=1 on the build machine (exact sequential engine, XLA CPU
+# backend — the faithful stand-in for the reference's single-threaded
+# raster scan; the reference itself publishes no numbers, BASELINE.md).
+# Updated when the pipeline changes.
+CPU_BASELINE_FPS = 0.636  # measured 2026-08-16, 1080p gray blk16
 
 
 def main():
-    if os.environ.get("MVT_BENCH_CPU"):
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
     import jax
+    if os.environ.get("MVT_BENCH_CPU"):
+        # env var alone is ignored when a site customization pre-imports
+        # jax with another platform; the config override works until the
+        # first backend initialization
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
@@ -74,9 +79,12 @@ def main():
     # One frame of the lock-step engine already saturates the chip (every
     # block searches in parallel), so frames are looped, not vmapped —
     # vmapping frames over the block-parallel search multiplies the gather
-    # working set without adding utilization.
+    # working set without adding utilization.  The CPU baseline runs the
+    # exact sequential engine (the faithful stand-in for the reference's
+    # single-threaded raster scan).
+    engine = "exact" if os.environ.get("MVT_BENCH_CPU") else "lockstep"
     step = jax.jit(lambda c, p, n: degrain1_frame(
-        [c], [p], [n], sspec, aspec_b, aspec_f, dcfg)[0])
+        [c], [p], [n], sspec, aspec_b, aspec_f, dcfg, engine=engine)[0])
 
     out = step(cur[0], prev[0], nxt[0])
     out.block_until_ready()  # compile + warmup

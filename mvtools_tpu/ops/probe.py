@@ -247,9 +247,13 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
 
 def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
                       bs_y: int, bs_x: int, pel: int,
-                      chunk: int = 16, n_buf: int = 8):
+                      chunk: int = 0, n_buf: int = 8):
     """Pallas TPU version of probe_sads_xla: [nblk, K, D] int32 SADs."""
     nblk, kk = cand_y.shape
+    if chunk <= 0:
+        # the kernel body unrolls chunk*K (DMA + compute) steps; bound the
+        # unroll so Mosaic compile time stays sane for large K
+        chunk = max(1, min(16, 32 // kk))
     offsets = tuple(tuple(int(v) for v in o) for o in offsets)
     _, _, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
     wy = -(-(wy + 8) // 32) * 32
