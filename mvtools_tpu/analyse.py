@@ -1191,15 +1191,31 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
     lam0_a = jnp.where(blky_a == 0, _i64(0), _i64(lambda_level))
     zs_y = _i32(field_shift)
 
-    def slice_block(y0, x0):
-        return jax.lax.dynamic_slice(src_plane, (y0, x0), (bsy, bsx))
+    def blocks_of(plane, base_y, base_x, nb_y, nb_x, bh, bw, step_y,
+                  step_x):
+        """[nblk, bh, bw] source blocks.  Regular non-overlapping grids
+        reshape for free; overlapped grids need the gather."""
+        if step_y == bh and step_x == bw:
+            region = jax.lax.dynamic_slice(
+                plane, (base_y, base_x), (nb_y * bh, nb_x * bw))
+            return (region.reshape(nb_y, bh, nb_x, bw)
+                    .transpose(0, 2, 1, 3).reshape(nb_y * nb_x, bh, bw))
+        ys = base_y + step_y * jnp.arange(nb_y, dtype=I32)
+        xs = base_x + step_x * jnp.arange(nb_x, dtype=I32)
+        yy = jnp.repeat(ys, nb_x)
+        xx = jnp.tile(xs, nb_y)
+        return jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            plane, (y, x), (bh, bw)))(yy, xx)
 
-    src_blocks = jax.vmap(slice_block)(y0_a, x0_a)          # [nblk,bsy,bsx]
+    src_blocks = blocks_of(src_plane, vpad, hpad, nby, nbx, bsy, bsx,
+                           bsy - ovy, bsx - ovx)
     if ctx.chroma:
-        src_u_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-            src_u, (y, x), (bcy, bcx)))(yc_a, xc_a)
-        src_v_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-            src_v, (y, x), (bcy, bcx)))(yc_a, xc_a)
+        src_u_blocks = blocks_of(src_u, vpad_c, hpad_c, nby, nbx, bcy,
+                                 bcx, (bsy - ovy) >> logy,
+                                 (bsx - ovx) >> logx)
+        src_v_blocks = blocks_of(src_v, vpad_c, hpad_c, nby, nbx, bcy,
+                                 bcx, (bsy - ovy) >> logy,
+                                 (bsx - ovx) >> logx)
     else:
         src_u_blocks = src_v_blocks = None
 
@@ -1287,9 +1303,9 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                               do_rescue=(it == iters - 1))
             vx_a, vy_a, vs_a = st["bx"], st["by"], st["bsad"]
         if smallest:
-            ref0_blocks = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-                ctx.ref_stacks[0], (_i32(0), y, x), (1, bsy, bsx))[0]
-            )(y0_a, x0_a)
+            ref0_blocks = blocks_of(ctx.ref_stacks[0][0], vpad, hpad,
+                                    nby, nbx, bsy, bsx, bsy - ovy,
+                                    bsx - ovx)
             sumluma = jnp.sum(
                 jax.vmap(sad_ops.luma)(ref0_blocks).astype(I64)
                 - jax.vmap(sad_ops.luma)(src_blocks).astype(I64))
@@ -1646,7 +1662,7 @@ def _level_ctx(src_super: Super, ref_super: Super, spec: AnalyseSpec,
 
 def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
             field_shift=0, engine: str = "exact",
-            lockstep_iters: int = 2) -> MVField:
+            lockstep_iters: int = 1) -> MVField:
     """Run the full hierarchical search for one frame pair.
 
     src_super / ref_super: Super pyramids of the current and reference
@@ -1657,6 +1673,9 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
     block scan bit-exactly (lax.scan over blocks — the parity oracle);
     "lockstep" is the TPU-native whole-plane search (all blocks per step,
     Jacobi predictors, `lockstep_iters` sweeps) — the production path.
+    One sweep matches two within noise on real content (the inter-level
+    prediction carries the propagation); raise lockstep_iters for extra
+    neighbour-predictor hops.
     """
     if engine not in ("exact", "lockstep"):
         raise ValueError(f"Analyse: unknown engine {engine!r}")

@@ -133,7 +133,10 @@ def recalculate(src_super: Super, ref_super: Super, old_mv: MVField,
     meta = spec.meta
     old_meta = old_mv.meta if old_mv.meta is not None else meta
     ctx = _level_ctx(src_super, ref_super, spec, 0)
-    engine = SearchEngine(ctx, spec.dct)
+    # the search is vmapped over all blocks: masked control flow
+    # (lockstep=True) — batched cond-around-while makes the XLA TPU
+    # backend materialize gather operands per lane
+    engine = SearchEngine(ctx, spec.dct, lockstep=True)
     nbx, nby = ctx.nblk
     bsx, bsy = ctx.blk_size
     bcx, bcy = ctx.blk_size_c
