@@ -553,31 +553,39 @@ def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
     found_sad = st["bsad"]
     bad = (idx > 1) & (found_sad > _i64(badsad))
     pelf = pel
-    if badrange > 0:
-        # cross + hex4 around (0,0) are uniform -> dense; the hex2 tail
-        # walks per block
-        offs = _umh_uniform_offsets(badrange * pelf)
-        stf = dense.check_uniform(
-            {"bx": st["bx"], "by": st["by"], "bsad": st["bsad"],
-             "mincost": st["mincost"]},
-            offs, p.bounds, pred, lam, p.pnew, bad)
-        st = dict(st, **stf)
-        st = _hex2(p, st, badrange * pelf, lam, pred, active=bad)
-    elif badrange < 0:
-        done = jnp.zeros((nblk,), bool)
-        for i in range(1, -badrange * pelf, pelf):
+
+    def rescue(st):
+        st = dict(st)
+        if badrange > 0:
+            # cross + hex4 around (0,0) are uniform -> dense; the hex2
+            # tail walks per block
+            offs = _umh_uniform_offsets(badrange * pelf)
             stf = dense.check_uniform(
                 {"bx": st["bx"], "by": st["by"], "bsad": st["bsad"],
                  "mincost": st["mincost"]},
-                _ring_offsets(i, pelf), p.bounds, pred, lam, p.pnew,
-                bad & ~done)
+                offs, p.bounds, pred, lam, p.pnew, bad)
             st = dict(st, **stf)
-            done = done | (st["bsad"] < found_sad // 4)
-    if pelf > 1:
-        mvx, mvy = st["bx"], st["by"]
-        for i in range(1, pelf):
-            st = _expanding(p, st, i, 1, mvx, mvy, lam, pred, active=bad)
-    return st
+            st = _hex2(p, st, badrange * pelf, lam, pred, active=bad)
+        elif badrange < 0:
+            done = jnp.zeros((nblk,), bool)
+            for i in range(1, -badrange * pelf, pelf):
+                stf = dense.check_uniform(
+                    {"bx": st["bx"], "by": st["by"], "bsad": st["bsad"],
+                     "mincost": st["mincost"]},
+                    _ring_offsets(i, pelf), p.bounds, pred, lam, p.pnew,
+                    bad & ~done)
+                st = dict(st, **stf)
+                done = done | (st["bsad"] < found_sad // 4)
+        if pelf > 1:
+            mvx, mvy = st["bx"], st["by"]
+            for i in range(1, pelf):
+                st = _expanding(p, st, i, 1, mvx, mvy, lam, pred,
+                                active=bad)
+        return st
+
+    # field-level cond with a SCALAR predicate: a genuine runtime branch
+    # (unlike batched conds), so healthy frames skip the whole rescue
+    return jax.lax.cond(jnp.any(bad), rescue, lambda s: dict(s), st)
 
 
 def _umh_uniform_offsets(i_me_range: int):

@@ -215,22 +215,27 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
             sads = []
             for (dx, dy) in offsets:
                 ci = classes.index((dy % pel, dx % pel))
-                # select the parity case on the block VECTORS first, then
-                # do a single SAD (vector selects are much cheaper than
-                # pel^2 redundant reductions)
-                blk = None
+                # group the pel^2 parity cases by their (oy, ox) window
+                # geometry — most offsets collapse to 1-2 distinct slices —
+                # select the block VECTOR by parity, then do one SAD
+                geoms = {}
                 for qy in range(pel):
                     for qx in range(pel):
                         oy, ox = case_geometry(qy, qx, dy, dx)
-                        cand = jax.lax.slice(
-                            planes[ci], (oy, ox),
-                            (oy + bs_y, ox + bs_x))
-                        if blk is None:
-                            blk = cand
-                        else:
-                            sel = ((par_y == np.int32(qy))
-                                   & (par_x == np.int32(qx)))
-                            blk = jnp.where(sel, cand, blk)
+                        geoms.setdefault((oy, ox), []).append((qy, qx))
+                blk = None
+                for (oy, ox), cases_list in geoms.items():
+                    cand = jax.lax.slice(planes[ci], (oy, ox),
+                                         (oy + bs_y, ox + bs_x))
+                    if blk is None:
+                        blk = cand
+                    else:
+                        sel = None
+                        for (qy, qx) in cases_list:
+                            c = ((par_y == np.int32(qy))
+                                 & (par_x == np.int32(qx)))
+                            sel = c if sel is None else (sel | c)
+                        blk = jnp.where(sel, cand, blk)
                 # i64-free SAD: two exact f32 partial sums
                 v = jnp.abs(blk - src)
                 lo = jnp.sum((v & 255).astype(jnp.float32))
@@ -252,8 +257,12 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
     nblk, kk = cand_y.shape
     if chunk <= 0:
         # the kernel body unrolls chunk*K (DMA + compute) steps; bound the
-        # unroll so Mosaic compile time stays sane for large K
-        chunk = max(1, min(16, 32 // kk))
+        # unroll so Mosaic compile time stays sane, and keep enough DMAs
+        # in flight to hide the ~tens-of-us copy latency
+        chunk = max(1, min(64, 64 // kk))
+    if n_buf <= 0 or n_buf == 8:
+        n_classes = max(1, len(_offset_classes(offsets, pel)))
+        n_buf = max(4, min(48 // n_classes, chunk * kk))
     offsets = tuple(tuple(int(v) for v in o) for o in offsets)
     _, _, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
     wy = -(-(wy + 8) // 32) * 32

@@ -82,9 +82,10 @@ def test_lockstep_translation_recovery():
     mv = analyse(s0, s1, aspec, engine="lockstep")
     x = np.asarray(mv.levels[0].x)
     y = np.asarray(mv.levels[0].y)
-    assert ((x == 6) & (y == 4)).mean() == 1.0
-    # interior blocks match exactly; edge blocks see content that shifted
-    # out of frame, so only they may carry residual SAD
+    # interior blocks must recover the translation exactly; edge blocks
+    # see content that shifted out of frame, so their true match is
+    # undefined and they may settle elsewhere with residual SAD
+    assert ((x == 6) & (y == 4))[1:-1, 1:-1].mean() == 1.0
     sad = np.asarray(mv.levels[0].sad)
     assert int(sad[1:-1, 1:-1].max()) == 0
 
