@@ -43,7 +43,7 @@ def main():
     from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
     from mvtools_tpu.core.types import ColorFamily, VideoFormat
     from mvtools_tpu.degrain import DegrainConfig
-    from mvtools_tpu.models.denoise import degrain1_frame
+    from mvtools_tpu.models.denoise import degrain_n_frame
 
     w = int(os.environ.get("MVT_BENCH_W", 1920))
     h = int(os.environ.get("MVT_BENCH_H", 1080))
@@ -51,6 +51,7 @@ def main():
     iters = int(os.environ.get("MVT_BENCH_ITERS", 3))
     blksize = int(os.environ.get("MVT_BENCH_BLKSIZE", 16))
     levels = int(os.environ.get("MVT_BENCH_LEVELS", 3))
+    radius = int(os.environ.get("MVT_BENCH_RADIUS", 1))
 
     fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
     scfg = SuperConfig(pel=2, levels=levels, chroma=False)
@@ -86,15 +87,25 @@ def main():
     # exact sequential engine (the faithful stand-in for the reference's
     # single-threaded raster scan).
     engine = "exact" if os.environ.get("MVT_BENCH_CPU") else "lockstep"
-    step = jax.jit(lambda c, p, n: degrain1_frame(
-        [c], [p], [n], sspec, aspec_b, aspec_f, dcfg, engine=engine)[0])
 
-    out = step(cur[0], prev[0], nxt[0])
+    def frame_fn(c, prevs, nxts):
+        return degrain_n_frame([c], [[p] for p in prevs], [[n] for n in nxts],
+                               sspec, aspec_b, aspec_f, dcfg,
+                               engine=engine)[0]
+
+    step = jax.jit(frame_fn)
+
+    def args_for(b):
+        prevs = tuple(prev[max(b - r, 0)] for r in range(radius))
+        nxts = tuple(nxt[min(b + r, total - 1)] for r in range(radius))
+        return cur[b], prevs, nxts
+
+    out = step(*args_for(0))
     out.block_until_ready()  # compile + warmup
 
     t0 = time.perf_counter()
     for b in range(total):
-        out = step(cur[b], prev[b], nxt[b])
+        out = step(*args_for(b))
     out.block_until_ready()
     dt = time.perf_counter() - t0
     fps = total / dt
@@ -102,7 +113,7 @@ def main():
     vs_baseline = fps / CPU_BASELINE_FPS if CPU_BASELINE_FPS else 0.0
     backend = jax.default_backend()
     print(json.dumps({
-        "metric": f"MAnalyse+MDegrain1 {w}x{h} gray blk{blksize} "
+        "metric": f"MAnalyse+MDegrain{radius} {w}x{h} gray blk{blksize} "
                   f"frames/s ({backend})",
         "value": round(fps, 3),
         "unit": "frames/s",

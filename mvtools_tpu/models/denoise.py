@@ -31,13 +31,29 @@ def degrain1_frame(cur_planes, prev_planes, next_planes, sspec, aspec_b,
     (analyse.search_level_lockstep) — pass engine="exact" for the
     reference-parity sequential engine.
     """
+    return degrain_n_frame(cur_planes, [prev_planes], [next_planes],
+                           sspec, aspec_b, aspec_f, dcfg, engine=engine)
+
+
+def degrain_n_frame(cur_planes, prev_list, next_list, sspec, aspec_b,
+                    aspec_f, dcfg, engine: str = "lockstep"):
+    """MDegrainN: denoise one frame from `radius = len(prev_list)`
+    backward and forward neighbours (MVDegrains.cpp Degrain1-6,
+    ref order per radius: bwd r, fwd r — requests :90-109).
+
+    prev_list[i] / next_list[i] = planes of frames n-(i+1) / n+(i+1).
+    """
     sup_cur = build_super(cur_planes, sspec)
-    sup_prev = build_super(prev_planes, sspec)
-    sup_next = build_super(next_planes, sspec)
-    mv_b = analyse(sup_cur, sup_next, aspec_b, engine=engine)
-    mv_f = analyse(sup_cur, sup_prev, aspec_f, engine=engine)
-    return degrain(cur_planes, [sup_next, sup_prev], [mv_b, mv_f],
-                   aspec_b.meta, dcfg)
+    sups = []
+    mvs = []
+    for prev_planes, next_planes in zip(prev_list, next_list):
+        sup_prev = build_super(prev_planes, sspec)
+        sup_next = build_super(next_planes, sspec)
+        mv_b = analyse(sup_cur, sup_next, aspec_b, engine=engine)
+        mv_f = analyse(sup_cur, sup_prev, aspec_f, engine=engine)
+        sups += [sup_next, sup_prev]
+        mvs += [mv_b, mv_f]
+    return degrain(cur_planes, sups, mvs, aspec_b.meta, dcfg)
 
 
 def degrain1_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
