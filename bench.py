@@ -43,8 +43,7 @@ def main():
     from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
     from mvtools_tpu.core.types import ColorFamily, VideoFormat
     from mvtools_tpu.degrain import DegrainConfig
-    from mvtools_tpu.models.denoise import degrain_n_frame
-
+    
     w = int(os.environ.get("MVT_BENCH_W", 1920))
     h = int(os.environ.get("MVT_BENCH_H", 1080))
     batch = int(os.environ.get("MVT_BENCH_B", 4))
@@ -87,11 +86,15 @@ def main():
     # exact sequential engine (the faithful stand-in for the reference's
     # single-threaded raster scan).
     engine = "exact" if os.environ.get("MVT_BENCH_CPU") else "lockstep"
+    # one monolithic jit per frame: the axon runtime intermittently fails
+    # (INVALID_ARGUMENT) when several large search executables coexist in
+    # one process, so the whole graph compiles as a single program
+    from mvtools_tpu.models.denoise import degrain_n_frame
 
     def frame_fn(c, prevs, nxts):
-        return degrain_n_frame([c], [[p] for p in prevs], [[n] for n in nxts],
-                               sspec, aspec_b, aspec_f, dcfg,
-                               engine=engine)[0]
+        return degrain_n_frame([c], [[p] for p in prevs],
+                               [[n] for n in nxts], sspec, aspec_b,
+                               aspec_f, dcfg, engine=engine)[0]
 
     step = jax.jit(frame_fn)
 
