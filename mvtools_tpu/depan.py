@@ -408,7 +408,9 @@ def depan_estimate(frames: jnp.ndarray, cfg: DepanEstimateConfig):
     def motion_for(win_stack):
         fft = jnp.fft.rfft2(win_stack)               # [N, winy, winx//2+1]
         prev = jnp.concatenate([fft[:1], fft[:-1]], axis=0)
-        cross = fft * jnp.conj(prev)                 # cur * conj(prev)
+        cross = jnp.conj(fft) * prev                 # conj(cur) * prev
+        # (mult_conj_data2d MVDepan.cpp:681-697: conj(fftnext)*fftsrc with
+        # fftnext=cur, fftsrc=prev — peak at the motion of cur vs prev)
         correl = jnp.fft.irfft2(cross, s=(winy, winx)) * (winx * winy)
         # fftw c2r is unnormalized (factor winx*winy vs numpy's normalized
         # inverse); reproduce fftw scaling for identical trust values

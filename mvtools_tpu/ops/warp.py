@@ -307,18 +307,30 @@ def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
         interp = jnp.clip(interp, 0, pixel_max)
         interp_ok = ((rowleft >= 1) & (rowleft < w - 2)
                      & (hlow_m >= 1) & (hlow_m < h - 2))
-        # near-edge rows/cols fall back to bilinear/nearest
-        # (MVDepan.cpp:2334-2366); use nearest for simplicity of the
-        # fallback band (1-2 pixels wide)
+        # near-edge rows/cols fall back to bilinear, the outermost line to
+        # nearest (MVDepan.cpp:2334-2366: hlow 0/height-2 lines and
+        # rowleft 0 use bilinear; only hlow height-1 / rowleft row_size-1
+        # copy the source pixel)
         cy = clampedy(hlow_m)
         cx = clampedx(rowleft)
+        cy1 = clampedy(hlow_m + 1)
+        cx1 = clampedx(rowleft + 1)
+        fx = xsrc - jnp.floor(xsrc)
+        fy = ysrc - jnp.floor(ysrc)
+        bl = ((1.0 - fy) * ((1.0 - fx) * src[cy, cx] + fx * src[cy, cx1])
+              + fy * ((1.0 - fx) * src[cy1, cx] + fx * src[cy1, cx1]))
+        bl = bl.astype(I32)            # C (int) truncation; values >= 0
+        bilin_ok = (~interp_ok & (rowleft >= 0) & (rowleft < w - 1)
+                    & (hlow_m >= 0) & (hlow_m < h - 1))
         near = src[cy, cx]
         near_ok = ((rowleft >= 0) & (rowleft < w)
                    & (hlow_m >= 0) & (hlow_m < h))
         use_l, lv, use_r, rv = _edge_blur_lookup(
             src, hlow_m, rowleft, mleft, mright, blur, w)
         y_ok = (hlow_m >= 0) & (hlow_m < h)
-        val = jnp.where(interp_ok, interp, jnp.where(near_ok, near, 0))
+        val = jnp.where(interp_ok, interp,
+                        jnp.where(bilin_ok, bl,
+                                  jnp.where(near_ok, near, 0)))
         val = jnp.where(~(interp_ok | near_ok) & use_l, lv, val)
         val = jnp.where(~(interp_ok | near_ok) & use_r, rv, val)
         valid = y_ok & (interp_ok | near_ok | use_l | use_r)

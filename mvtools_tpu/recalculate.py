@@ -126,17 +126,24 @@ def _interpolate_old_vectors(old: MVPlaneField, old_meta: AnalysisMeta,
 
 def recalculate(src_super: Super, ref_super: Super, old_mv: MVField,
                 spec: AnalyseSpec, cfg: RecalculateConfig,
-                field_shift=0) -> MVField:
+                field_shift=0, engine: str = "lockstep") -> MVField:
     """Refine `old_mv` on the finest level.  `spec` is the resolved
     AnalyseSpec of the *new* grid (from cfg.to_analyse_config()), `old_mv`
-    carries its own meta."""
+    carries its own meta.
+
+    `engine` mirrors analyse's engine choice: "lockstep" (production) uses
+    masked control flow — batched cond-around-while makes the XLA TPU
+    backend materialize gather operands per lane — at the cost of a
+    candidate-evaluation-order difference inside switch cases (tie-breaks
+    only); "exact" keeps the reference's sequential candidate order
+    (pobRecalculateMVs PlaneOfBlocks.cpp:1158-1424) for parity work.
+    """
+    if engine not in ("exact", "lockstep"):
+        raise ValueError(f"recalculate: unknown engine {engine!r}")
     meta = spec.meta
     old_meta = old_mv.meta if old_mv.meta is not None else meta
     ctx = _level_ctx(src_super, ref_super, spec, 0)
-    # the search is vmapped over all blocks: masked control flow
-    # (lockstep=True) — batched cond-around-while makes the XLA TPU
-    # backend materialize gather operands per lane
-    engine = SearchEngine(ctx, spec.dct, lockstep=True)
+    engine = SearchEngine(ctx, spec.dct, lockstep=(engine == "lockstep"))
     nbx, nby = ctx.nblk
     bsx, bsy = ctx.blk_size
     bcx, bcy = ctx.blk_size_c

@@ -63,8 +63,12 @@ bool parse_colorspace(const char* tag, Y4MInfo* info) {
     info->planes = 3;
     info->sub_w = info->sub_h = 2;
     tag += 3;
-    // skip jpeg/mpeg2/paldv siting suffixes
-    while (*tag && *tag != 'p' && !isdigit((unsigned char)*tag)) tag++;
+    // skip jpeg/mpeg2/paldv siting suffixes: a 'p' only marks bit depth
+    // when followed by a digit (C420p10), otherwise it is part of the
+    // suffix (C420jpeg, C420mpeg2, C420paldv)
+    while (*tag && !(*tag == 'p' && isdigit((unsigned char)tag[1])) &&
+           !isdigit((unsigned char)*tag))
+      tag++;
   } else if (!strncmp(tag, "422", 3)) {
     info->planes = 3;
     info->sub_w = 2;

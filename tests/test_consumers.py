@@ -144,6 +144,7 @@ def test_recalculate_matches_oracle(smooth, overlap):
                              thsad=100, chroma=False, truemotion=True)
     rspec = rcfg.to_analyse_config().validate(sspec)
     got = recalculate(s_cur, s_ref, mv16, rspec, rcfg)
+    got_exact = recalculate(s_cur, s_ref, mv16, rspec, rcfg, engine="exact")
 
     # oracle
     src_lv = oa.build_planes(cur[:1], sspec.hpad, sspec.vpad, sspec.pel,
@@ -172,6 +173,12 @@ def test_recalculate_matches_oracle(smooth, overlap):
     wx = np.array([v[0] for v in want]).reshape(m.blk_y, m.blk_x)
     wy = np.array([v[1] for v in want]).reshape(m.blk_y, m.blk_x)
     ws = np.array([v[2] for v in want]).reshape(m.blk_y, m.blk_x)
+    # "exact" keeps the reference candidate order and must be bit-exact;
+    # the production lockstep engine differs only in tie-breaks and is
+    # bit-exact on this content too (regression-pins both)
+    np.testing.assert_array_equal(np.asarray(got_exact.levels[0].x), wx)
+    np.testing.assert_array_equal(np.asarray(got_exact.levels[0].y), wy)
+    np.testing.assert_array_equal(np.asarray(got_exact.levels[0].sad), ws)
     np.testing.assert_array_equal(np.asarray(got.levels[0].x), wx)
     np.testing.assert_array_equal(np.asarray(got.levels[0].y), wy)
     np.testing.assert_array_equal(np.asarray(got.levels[0].sad), ws)

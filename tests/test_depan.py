@@ -199,9 +199,11 @@ def test_depan_estimate_translation():
               for t in range(4)]
     dx, dy, zoom, trust = depan_estimate(
         jnp.asarray(np.stack(frames)), DepanEstimateConfig(trust=0.01))
-    # content moved by (-3, -2) per frame
-    np.testing.assert_allclose(np.asarray(dx)[1:], -3.0, atol=0.2)
-    np.testing.assert_allclose(np.asarray(dy)[1:], -2.0, atol=0.2)
+    # content moved by (-3, -2) per frame; the reference convention
+    # (conj(cur)*prev, MVDepan.cpp:681-697) reports +3, +2 — the pan of
+    # the camera, not of the content
+    np.testing.assert_allclose(np.asarray(dx)[1:], 3.0, atol=0.2)
+    np.testing.assert_allclose(np.asarray(dy)[1:], 2.0, atol=0.2)
     assert float(dx[0]) == 0.0 and float(zoom[1]) == 1.0
 
 

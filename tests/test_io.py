@@ -55,6 +55,34 @@ def test_read_write_clip_helpers(tmp_path):
     assert info.fps_num == 30
 
 
+@pytest.mark.parametrize("tag,bits", [("420jpeg", 8), ("420mpeg2", 8),
+                                      ("420paldv", 8), ("420p10", 10),
+                                      ("420", 8)])
+def test_y4m_reads_siting_suffixes(tmp_path, tag, bits):
+    """ffmpeg emits C420mpeg2/C420jpeg; the 'p' in those suffixes must not
+    be parsed as a bit-depth marker (ADVICE r1)."""
+    path = str(tmp_path / "ff.y4m")
+    w, h = 32, 16
+    dt = np.uint8 if bits <= 8 else np.uint16
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 1 << bits, (h, w), dt)
+    u = rng.integers(0, 1 << bits, (h // 2, w // 2), dt)
+    v = rng.integers(0, 1 << bits, (h // 2, w // 2), dt)
+    with open(path, "wb") as fh:
+        fh.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{tag}\n".encode())
+        fh.write(b"FRAME\n")
+        for pl in (y, u, v):
+            fh.write(pl.tobytes())
+    rd = Y4MReader(path)
+    assert rd.bits == bits and rd.planes == 3
+    assert (rd.sub_w, rd.sub_h) == (2, 2)
+    got = list(rd)
+    rd.close()
+    assert len(got) == 1
+    np.testing.assert_array_equal(got[0][0], y)
+    np.testing.assert_array_equal(got[0][2], v)
+
+
 def test_prefetch_many_frames(tmp_path):
     """More frames than the prefetch ring forces wraparound + blocking."""
     rng = np.random.default_rng(1)
