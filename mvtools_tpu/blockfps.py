@@ -15,7 +15,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 
 from .core.thscd import is_usable, scale_thscd
-from .core.types import AnalysisMeta, MVField
+from .core.types import AnalysisMeta, MVField, check_similarity
 from .degrain import gather_blocks
 from .flowutils import FlowGeometry
 from .ops import maskfun, overlap as overlap_ops, resize
@@ -63,6 +63,8 @@ def blockfps_frame(src_planes: Sequence[jnp.ndarray],
     if time256 == 256:
         return list(ref_planes)
 
+    if mv_b.meta is not None and mv_f.meta is not None:
+        check_similarity(mv_b.meta, mv_f.meta, "BlockFPS", "mvbw", "mvfw")
     nscd1, nscd2 = scale_thscd(cfg.thscd1, cfg.thscd2, meta, "BlockFPS")
     usable = jnp.logical_and(is_usable(mv_b, nscd1, nscd2),
                              is_usable(mv_f, nscd1, nscd2))

@@ -129,6 +129,53 @@ class AnalysisMeta:
         return out
 
 
+def check_similarity(ad1: AnalysisMeta, ad2: AnalysisMeta,
+                     filter_name1: str, filter_name2: str,
+                     vector_name: str) -> None:
+    """Pairwise MV-clip compatibility validation
+    (adataCheckSimilarity, MVAnalysisData.c:68-98).  Raises ValueError with
+    the reference's error text on the first mismatch (the reference writes
+    each message into the same buffer, so the LAST failing check wins —
+    reproduced by checking in reverse order and keeping the first hit)."""
+    checks = [
+        (ad1.width != ad2.width, "widths"),
+        (ad1.height != ad2.height, "heights"),
+        (ad1.blk_size_x != ad2.blk_size_x
+         or ad1.blk_size_y != ad2.blk_size_y, "block sizes"),
+        (ad1.pel != ad2.pel, "pel precision"),
+        (ad1.overlap_x != ad2.overlap_x
+         or ad1.overlap_y != ad2.overlap_y, "overlap"),
+        (ad1.x_ratio_uv != ad2.x_ratio_uv, "horizontal subsampling"),
+        (ad1.y_ratio_uv != ad2.y_ratio_uv, "vertical subsampling"),
+        (ad1.bits_per_sample != ad2.bits_per_sample, "bit depths"),
+    ]
+    for bad, what in reversed(checks):
+        if bad:
+            raise ValueError(
+                f"{filter_name1}: {filter_name2} and {vector_name} have "
+                f"different {what}.")
+
+
+def check_vectors_similarity(metas, filter_name: str,
+                             vector_names=None) -> None:
+    """Validate a consumer's MV inputs pairwise against the first, in the
+    reference's vector order (MVDegrains.cpp:588-600: mvbw, mvfw, mvbw2,
+    ...).  Entries may be AnalysisMeta or None (unchecked)."""
+    metas = list(metas)
+    if vector_names is None:
+        vector_names = ["mvbw", "mvfw"] + [
+            f"mv{d}w{i}" for i in range(2, 7) for d in ("b", "f")]
+    first = next((m for m in metas if m is not None), None)
+    if first is None:
+        return
+    base_idx = metas.index(first)
+    for r, m in enumerate(metas):
+        if m is None or r == base_idx:
+            continue
+        check_similarity(first, m, filter_name, vector_names[base_idx],
+                         vector_names[r])
+
+
 # Motion flags (reference: MVAnalysisData.h:67-72)
 MOTION_USE_SIMD = 0x00000001
 MOTION_IS_BACKWARD = 0x00000002

@@ -391,16 +391,22 @@ def _corr_motion(correl, winx, winy, dxmax, dymax, trust_limit, stab,
     return fdx, fdy, trust.astype(F32)
 
 
-def depan_estimate(frames: jnp.ndarray, cfg: DepanEstimateConfig):
+def depan_estimate(frames: jnp.ndarray, cfg: DepanEstimateConfig,
+                   return_correl: bool = False):
     """Global translation (+zoom) for a whole clip by FFT correlation.
 
     frames: [N, H, W] luma planes.  Returns (dx, dy, zoom, trust) arrays
     of shape [N]; frame 0 and low-trust frames get the scene-change record
     (0, 0, 1) (depanEstimateStage2/3 MVDepan.cpp:1000-1243).
+    With return_correl=True, additionally returns the per-frame
+    correlation surface(s) [N, winy, winx] (the `show` debug surface,
+    MVDepan.cpp:1072-1124) — one per window, (surface,) or
+    (surface_left, surface_right) for the zoom split.
     """
     n, height, width = frames.shape
     winx, winy, wleft, wtop, dxmax, dymax = cfg.resolve(width, height)
     pixaspect = np.float32(cfg.pixaspect)  # field logic handled by caller
+    correls = []
 
     def windows(off):
         return frames[:, wtop:wtop + winy, off:off + winx].astype(F32)
@@ -414,6 +420,7 @@ def depan_estimate(frames: jnp.ndarray, cfg: DepanEstimateConfig):
         correl = jnp.fft.irfft2(cross, s=(winy, winx)) * (winx * winy)
         # fftw c2r is unnormalized (factor winx*winy vs numpy's normalized
         # inverse); reproduce fftw scaling for identical trust values
+        correls.append(correl)
         f = jax.vmap(lambda c: _corr_motion(
             c, winx, winy, dxmax, dymax, cfg.trust, cfg.stab, pixaspect))
         return f(correl)
@@ -450,7 +457,71 @@ def depan_estimate(frames: jnp.ndarray, cfg: DepanEstimateConfig):
     dx = jnp.where(sharp, 0.0, dx).astype(F32)
     dy = jnp.where(sharp, 0.0, dy).astype(F32)
     zoom = jnp.where(sharp, 1.0, zoom).astype(F32)
+    if return_correl:
+        return dx, dy, zoom, trust_out, tuple(correls)
     return dx, dy, zoom, trust_out
+
+
+def render_correlation(plane: jnp.ndarray, correl: jnp.ndarray,
+                       winleft: int, wintop: int, pixel_max: int
+                       ) -> jnp.ndarray:
+    """Paint a correlation surface into a frame plane — the reference's
+    `show` debug view (showcorrelation, MVDepan.cpp:895-952): min-max
+    normalize the surface to [0, pixel_max] and overwrite the window
+    region of the plane."""
+    winy, winx = correl.shape
+    cmin = jnp.min(correl)
+    cmax = jnp.max(correl)
+    norm = pixel_max / jnp.maximum(cmax - cmin, 1e-30)
+    img = ((correl - cmin) * norm).astype(jnp.int32)
+    img = jnp.clip(img, 0, pixel_max).astype(plane.dtype)
+    return jax.lax.dynamic_update_slice(plane, img,
+                                        (jnp.int32(wintop),
+                                         jnp.int32(winleft)))
+
+
+def depan_estimate_show(frames: jnp.ndarray, cfg: DepanEstimateConfig):
+    """DepanEstimate with show=True: the clip with each frame's window
+    region replaced by its normalized correlation surface
+    (MVDepan.cpp:1072-1124).  Returns (shown_frames, dx, dy, zoom,
+    trust)."""
+    n, height, width = frames.shape
+    winx, winy, wleft, wtop, _, _ = cfg.resolve(width, height)
+    out = depan_estimate(frames, cfg, return_correl=True)
+    dx, dy, zoom, trust = out[:4]
+    correls = out[4]
+    pixel_max = 255 if frames.dtype == jnp.uint8 else 65535
+    shown = frames
+    offsets = [wleft] if len(correls) == 1 else [wleft, wleft + width // 2]
+    for corr, off in zip(correls, offsets):
+        shown = jax.vmap(
+            lambda p, c, o=off: render_correlation(p, c, o, wtop,
+                                                   pixel_max))(shown, corr)
+    return shown, dx, dy, zoom, trust
+
+
+def depan_analyse_info(n, iter_, error, dx, dy, rot, zoom) -> str:
+    """DepanAnalyse_info frame prop text (MVDepan.cpp:401-408)."""
+    return (f"fn={n} iter={iter_} error={error:.3f} dx={dx:.2f} "
+            f"dy={dy:.2f} rot={rot:.3f} zoom={zoom:.5f}")
+
+
+def depan_estimate_info(n, dx, dy, zoom, trust) -> str:
+    """DepanEstimate_info frame prop text (MVDepan.cpp:1229-1236)."""
+    return f"fn={n} dx={dx:.2f} dy={dy:.2f} zoom={zoom:.5f} trust={trust:.2f}"
+
+
+def depan_compensate_info(offset, nsrc, ndest, dx, dy, rot, zoom) -> str:
+    """DepanCompensate_info frame prop text (MVDepan.cpp:2717-2728)."""
+    return (f"offset={offset:.2f}, {nsrc} to {ndest}, dx={dx:.2f}, "
+            f"dy={dy:.2f}, rot={rot:.3f} zoom={zoom:.5f}")
+
+
+def depan_stabilise_info(ndest, nbase, dx, dy, rot, zoom) -> str:
+    """DepanStabilise_info frame prop text (MVDepan.cpp:3549-3557)."""
+    base = "BASE!" if nbase == ndest else "base "
+    return (f"frame={ndest} {base}={nbase} dx={dx:.2f} dy={dy:.2f} "
+            f"rot={rot:.3f} zoom={zoom:.5f}")
 
 
 # ---------------------------------------------------------------------------

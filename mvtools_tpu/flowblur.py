@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.thscd import is_usable, scale_thscd
-from .core.types import AnalysisMeta, MVField
+from .core.types import AnalysisMeta, MVField, check_similarity
 from .finest import finest as make_finest
 from .flowutils import FlowGeometry, small_vector_fields, upsize_vectors
 from .super import Super
@@ -84,6 +84,8 @@ def flowblur(src_planes: Sequence[jnp.ndarray], src_super: Super,
              cfg: FlowBlurConfig) -> List[jnp.ndarray]:
     """Blur frame n along its own backward/forward flow
     (mvbw and mvfw both at frame n)."""
+    if mv_b.meta is not None and mv_f.meta is not None:
+        check_similarity(mv_b.meta, mv_f.meta, "FlowBlur", "mvbw", "mvfw")
     nscd1, nscd2 = scale_thscd(cfg.thscd1, cfg.thscd2, meta, "FlowBlur")
     usable = jnp.logical_and(is_usable(mv_b, nscd1, nscd2),
                              is_usable(mv_f, nscd1, nscd2))

@@ -18,7 +18,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 
 from .core.thscd import is_usable, scale_thscd
-from .core.types import AnalysisMeta, MVField
+from .core.types import AnalysisMeta, MVField, check_similarity
 from .finest import finest as make_finest
 from .flowutils import (FlowGeometry, occlusion_mask_small,
                         small_vector_fields, upsize_mask, upsize_vectors)
@@ -69,6 +69,8 @@ def flowfps_frame(src_planes: Sequence[jnp.ndarray],
     if time256 == 256:
         return list(ref_planes)
 
+    if mv_b.meta is not None and mv_f.meta is not None:
+        check_similarity(mv_b.meta, mv_f.meta, "FlowFPS", "mvbw", "mvfw")
     nscd1, nscd2 = scale_thscd(cfg.thscd1, cfg.thscd2, meta, "FlowFPS")
     usable = jnp.logical_and(is_usable(mv_b, nscd1, nscd2),
                              is_usable(mv_f, nscd1, nscd2))

@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 
 from .core.thscd import is_usable, scale_thscd
-from .core.types import AnalysisMeta, MVField
+from .core.types import AnalysisMeta, MVField, check_similarity
 from .finest import finest as make_finest
 from .flowutils import (FlowGeometry, occlusion_mask_small,
                         small_vector_fields, upsize_mask, upsize_vectors)
@@ -70,6 +70,8 @@ def flowinter(src_planes: Sequence[jnp.ndarray],
     n+off / mvfw at n, :264-276) enabling the median-corrected kernel.
     src_planes/ref_planes: the ordinary clip frames for the blend fallback.
     """
+    if mv_b.meta is not None and mv_f.meta is not None:
+        check_similarity(mv_b.meta, mv_f.meta, "FlowInter", "mvbw", "mvfw")
     nscd1, nscd2 = scale_thscd(cfg.thscd1, cfg.thscd2, meta, "FlowInter")
     usable = jnp.logical_and(is_usable(mv_b, nscd1, nscd2),
                              is_usable(mv_f, nscd1, nscd2))

@@ -1,25 +1,34 @@
 """Flagship pipeline: motion-compensated temporal denoising of a clip.
 
-The canonical mvtools graph Super -> Analyse(backward+forward) -> Degrain1
-(BASELINE.json config 4), expressed as one pure jittable function over a
-clip with a leading frame axis.  Throughput comes from vmapping the
-per-frame computation across the batch; scale-out from sharding the frame
-axis over a mesh (parallel.mesh) — the jnp.roll neighbour access becomes an
-ICI collective permute.
+The canonical mvtools graph Super -> Analyse(backward+forward, radius N)
+-> DegrainN (BASELINE.json config 4), expressed as one pure jittable
+function over a clip with a leading frame axis.  Throughput comes from
+vmapping the per-frame computation across frames; scale-out from
+sharding the frame axis over a `parallel.mesh` Mesh — neighbour frames
+cross device boundaries once, via the explicit `lax.ppermute` halo
+exchange in `parallel.mesh.halo_exchange`.
+
+Clip-edge semantics match the reference: a neighbour beyond the clip is
+edge-replicated for shape uniformity but its MV field is marked unusable
+(`edge_validity`), so Degrain gives it weight 0 — the behaviour of the
+reference's default all-invalid field at clip edges
+(MVAnalyse.c:219-222, GroupOfPlanes.c:150-164, MVDegrains.h thSCD gate).
 """
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..analyse import analyse
+from ..core import fields as fields_mod
 from ..core.config import AnalyseConfig, SuperConfig
 from ..core.types import VideoFormat
 from ..degrain import DegrainConfig, degrain
+from ..parallel import mesh as pmesh
 from ..super import build_super
 
 
@@ -36,53 +45,106 @@ def degrain1_frame(cur_planes, prev_planes, next_planes, sspec, aspec_b,
 
 
 def degrain_n_frame(cur_planes, prev_list, next_list, sspec, aspec_b,
-                    aspec_f, dcfg, engine: str = "lockstep"):
+                    aspec_f, dcfg, engine: str = "lockstep",
+                    valid_b=None, valid_f=None,
+                    field_shift_b=None, field_shift_f=None):
     """MDegrainN: denoise one frame from `radius = len(prev_list)`
     backward and forward neighbours (MVDegrains.cpp Degrain1-6,
     ref order per radius: bwd r, fwd r — requests :90-109).
 
     prev_list[i] / next_list[i] = planes of frames n-(i+1) / n+(i+1).
+    valid_b[i] / valid_f[i]: optional traced bools marking whether the
+    i-th next/prev neighbour exists in the clip; False forces the
+    degraded (weight 0) path like the reference's default field at clip
+    edges.  field_shift_b/f[i]: per-pair vertical field shift in pel
+    units for interlaced input (MVAnalyse.c:174-178).
     """
     sup_cur = build_super(cur_planes, sspec)
     sups = []
     mvs = []
-    for prev_planes, next_planes in zip(prev_list, next_list):
+    valid = [] if (valid_b is not None or valid_f is not None) else None
+    for i, (prev_planes, next_planes) in enumerate(zip(prev_list,
+                                                       next_list)):
         sup_prev = build_super(prev_planes, sspec)
         sup_next = build_super(next_planes, sspec)
-        mv_b = analyse(sup_cur, sup_next, aspec_b, engine=engine)
-        mv_f = analyse(sup_cur, sup_prev, aspec_f, engine=engine)
+        fs_b = 0 if field_shift_b is None else field_shift_b[i]
+        fs_f = 0 if field_shift_f is None else field_shift_f[i]
+        mv_b = analyse(sup_cur, sup_next, aspec_b, engine=engine,
+                       field_shift=fs_b)
+        mv_f = analyse(sup_cur, sup_prev, aspec_f, engine=engine,
+                       field_shift=fs_f)
         sups += [sup_next, sup_prev]
         mvs += [mv_b, mv_f]
-    return degrain(cur_planes, sups, mvs, aspec_b.meta, dcfg)
+        if valid is not None:
+            valid += [jnp.asarray(True) if valid_b is None else valid_b[i],
+                      jnp.asarray(True) if valid_f is None else valid_f[i]]
+    return degrain(cur_planes, sups, mvs, aspec_b.meta, dcfg, valid=valid)
+
+
+def degrain_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
+                 scfg: SuperConfig = SuperConfig(),
+                 acfg: AnalyseConfig = AnalyseConfig(),
+                 dcfg: DegrainConfig = DegrainConfig(),
+                 radius: int = 1,
+                 engine: str = "exact",
+                 mesh=None) -> List[jnp.ndarray]:
+    """Denoise a whole clip with temporal radius N.
+
+    clip_planes: [T, H, W] per color plane.  With `mesh` (a 1-D Mesh over
+    parallel.mesh.FRAME_AXIS) the frame axis is sharded: each device
+    denoises its shard after one ppermute halo exchange of the `radius`
+    boundary frames.  Frames near the clip edges mark the missing
+    neighbours unusable instead of wrapping (reference default-field
+    semantics).
+    """
+    sspec = scfg.validate(fmt)
+    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+    total = clip_planes[0].shape[0]
+
+    fields_on = acfg.fields and sspec.pel > 1
+    if fields_on and acfg.tff is None:
+        raise ValueError(
+            "Analyse: _Field property not found in input frame. "
+            "Therefore, you must pass tff argument.")
+
+    def fs_for(g, k):
+        return fields_mod.field_shift_traced(g, k, sspec.pel, fields_on,
+                                             bool(acfg.tff))
+
+    def per_frame(cur, prevs, nexts, prev_ok, next_ok, g):
+        # cur: tuple of planes; prevs/nexts: list (len radius) of plane
+        # tuples; prev_ok/next_ok: [radius] bools; g: global frame index
+        return degrain_n_frame(
+            list(cur), [list(p) for p in prevs], [list(nx) for nx in nexts],
+            sspec, aspec_b, aspec_f, dcfg, engine=engine,
+            valid_b=[next_ok[k] for k in range(radius)],
+            valid_f=[prev_ok[k] for k in range(radius)],
+            field_shift_b=[fs_for(g, k + 1) for k in range(radius)],
+            field_shift_f=[fs_for(g, -(k + 1)) for k in range(radius)])
+
+    def local_body(local_planes, prevs, nexts, prev_ok, next_ok, g_idx):
+        if engine == "lockstep":
+            # the Pallas probe kernel has no vmap batching rule, and a
+            # sequential scan amortises the per-execution runtime cost
+            # over the whole shard anyway
+            return jax.lax.map(
+                lambda args: per_frame(*args),
+                (local_planes, prevs, nexts, prev_ok, next_ok, g_idx))
+        # exact engine: frames vectorize (one big program)
+        return jax.vmap(per_frame)(local_planes, prevs, nexts,
+                                   prev_ok, next_ok, g_idx)
+
+    fn = pmesh.clip_map(local_body, mesh, radius, total)
+    out = fn(*clip_planes)
+    return list(out)
 
 
 def degrain1_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
                   scfg: SuperConfig = SuperConfig(),
                   acfg: AnalyseConfig = AnalyseConfig(),
                   dcfg: DegrainConfig = DegrainConfig(),
-                  engine: str = "exact"):
-    """Denoise a whole clip.  clip_planes: [T, H, W] per color plane.
-
-    Frame t uses neighbours t-1 / t+1 (wrapped at the clip edges via roll —
-    the reference instead emits a default field there; the wrap keeps the
-    computation shape-uniform and collective-friendly, and the first/last
-    frame differ only in their reference choice).
-    """
-    import dataclasses
-    sspec = scfg.validate(fmt)
-    aspec_b = acfg.validate(sspec)
-    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
-    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
-
-    prevs = [jnp.roll(p, 1, axis=0) for p in clip_planes]
-    nexts = [jnp.roll(p, -1, axis=0) for p in clip_planes]
-
-    def per_frame(cur, prev, nxt):
-        # the clip path vmaps frames over the search; the exact engine
-        # default keeps that composition light (the lockstep engine is a
-        # per-frame production path — loop frames instead of vmapping)
-        return degrain1_frame(list(cur), list(prev), list(nxt), sspec,
-                              aspec_b, aspec_f, dcfg, engine=engine)
-
-    out = jax.vmap(per_frame)(tuple(clip_planes), tuple(prevs), tuple(nexts))
-    return list(out)
+                  engine: str = "exact", mesh=None):
+    """Radius-1 clip denoise (back-compat wrapper over degrain_clip)."""
+    return degrain_clip(clip_planes, fmt, scfg, acfg, dcfg, radius=1,
+                        engine=engine, mesh=mesh)

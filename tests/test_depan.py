@@ -292,3 +292,38 @@ def test_depan_stabilise_scene_change_resets_base():
     # frame 3 is a new base -> identity transform -> passthrough
     np.testing.assert_array_equal(np.asarray(outs[3][0]),
                                   np.asarray(frames[3][0]))
+
+
+def test_depan_estimate_show_surface():
+    """`show` debug view: window region replaced by the normalized
+    correlation surface whose peak sits at the known shift
+    (showcorrelation MVDepan.cpp:895-952)."""
+    from mvtools_tpu.depan import depan_estimate_show
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(96, 128)).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25
+    from numpy.lib.stride_tricks import sliding_window_view
+    pad = np.pad(base, 2, mode="wrap")
+    base = np.einsum("ijkl,kl->ij", sliding_window_view(pad, (5, 5)), k)
+    base = (base - base.min()) / (base.max() - base.min()) * 255
+    frames = np.stack([base, np.roll(base, (-2, -3), (0, 1))]
+                      ).astype(np.uint8)
+    cfg = DepanEstimateConfig(trust=0.01)
+    shown, dx, dy, zoom, trust = depan_estimate_show(jnp.asarray(frames),
+                                                     cfg)
+    assert shown.shape == frames.shape
+    winx, winy, wleft, wtop, _, _ = cfg.resolve(128, 96)
+    win = np.asarray(shown)[1, wtop:wtop + winy, wleft:wleft + winx]
+    assert win.max() == 255          # normalized to pixel_max
+    jpk, ipk = np.unravel_index(win.argmax(), win.shape)
+    # peak at (dy, dx) = (+2, +3), wrapped into window coords
+    assert ipk % winx == 3 and jpk % winy == 2
+    # frame 0 window is rendered too (all-equal surface for frame 0 is
+    # degenerate, just check shape/range)
+    assert np.asarray(shown)[0].shape == (96, 128)
+    # info strings
+    from mvtools_tpu.depan import depan_estimate_info
+    s = depan_estimate_info(1, float(dx[1]), float(dy[1]), float(zoom[1]),
+                            float(trust[1]))
+    assert s.startswith("fn=1 dx=3.0") or s.startswith("fn=1 dx=2.9")

@@ -1,0 +1,218 @@
+"""Multi-device sharding: ppermute halo exchange, edge semantics, and
+mesh-shape invariance of the clip pipeline (virtual 8-device CPU mesh,
+tests/conftest.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
+from mvtools_tpu.core.types import ColorFamily, VideoFormat
+from mvtools_tpu.degrain import DegrainConfig
+from mvtools_tpu.core import fields as fields_mod
+from mvtools_tpu.models.denoise import degrain_clip, degrain_n_frame
+from mvtools_tpu.parallel import mesh as pmesh
+
+
+def _np_halo(arr, radius):
+    """NumPy reference: edge-replicated halo padding along axis 0."""
+    left = np.repeat(arr[:1], radius, axis=0)
+    right = np.repeat(arr[-1:], radius, axis=0)
+    return np.concatenate([left, arr, right], axis=0)
+
+
+@pytest.mark.parametrize("n_dev,radius", [(1, 1), (2, 1), (4, 3), (8, 2),
+                                          (8, 3)])
+def test_halo_exchange_matches_numpy(n_dev, radius):
+    """Including radius > local shard size (multi-hop ppermute)."""
+    rng = np.random.default_rng(n_dev * 10 + radius)
+    T = 8
+    arr = rng.integers(0, 255, (T, 4, 6)).astype(np.int32)
+    mesh = pmesh.make_mesh(n_dev)
+
+    def body(x):
+        return pmesh.halo_exchange(x, radius)
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(pmesh.FRAME_AXIS),
+        out_specs=P(pmesh.FRAME_AXIS), check_vma=False))(jnp.asarray(arr))
+    out = np.asarray(out)
+    # per-shard output: [T_local + 2r, ...] stacked -> global
+    # [T + n_dev*2r, ...]; check every shard against the numpy halo
+    tl = T // n_dev
+    padded = _np_halo(arr, radius)
+    for d in range(n_dev):
+        got = out[d * (tl + 2 * radius):(d + 1) * (tl + 2 * radius)]
+        want = padded[d * tl:d * tl + tl + 2 * radius]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_edge_validity():
+    mesh = pmesh.make_mesh(4)
+
+    def body(x):
+        prev_ok, next_ok = pmesh.edge_validity(x.shape[0], 8, 2)
+        return prev_ok.astype(jnp.int32), next_ok.astype(jnp.int32)
+
+    x = jnp.zeros((8, 1))
+    p, nx = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(pmesh.FRAME_AXIS),
+        out_specs=P(pmesh.FRAME_AXIS), check_vma=False))(x)
+    p, nx = np.asarray(p), np.asarray(nx)
+    # prev_ok[t, k-1] iff t-k >= 0
+    for t in range(8):
+        for k in (1, 2):
+            assert p[t, k - 1] == (t - k >= 0)
+            assert nx[t, k - 1] == (t + k <= 7)
+
+
+def _noisy_clip(rng, T, H, W, motion=True):
+    base = rng.integers(0, 256, (H, W)).astype(np.float32)
+    frames = []
+    for t in range(T):
+        f = np.roll(base, (t, 2 * t), (0, 1)) if motion else base
+        frames.append(np.clip(f + rng.normal(0, 8, (H, W)), 0, 255))
+    return np.stack(frames).astype(np.uint8)
+
+
+def _run_clip(clip, fmt, scfg, acfg, dcfg, radius, engine, n_dev):
+    mesh = None if n_dev is None else pmesh.make_mesh(n_dev)
+    cp = jnp.asarray(clip)
+    if mesh is not None:
+        cp = pmesh.shard_clip(cp, mesh)
+    out = degrain_clip([cp], fmt, scfg, acfg, dcfg, radius=radius,
+                       engine=engine, mesh=mesh)
+    return np.asarray(out[0])
+
+
+def test_degrain_clip_mesh_invariance_small():
+    """radius 2 over meshes {1,2,4,8} (1 frame/shard at 8) — bit-exact."""
+    rng = np.random.default_rng(0)
+    T, H, W = 8, 64, 96
+    clip = _noisy_clip(rng, T, H, W, motion=False)
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=1, chroma=False, levels=1)
+    acfg = AnalyseConfig(blksize=8, chroma=False, levels=1)
+    dcfg = DegrainConfig(thsad=400)
+    ref = _run_clip(clip, fmt, scfg, acfg, dcfg, 2, "exact", None)
+    for n in (1, 2, 4, 8):
+        got = _run_clip(clip, fmt, scfg, acfg, dcfg, 2, "exact", n)
+        np.testing.assert_array_equal(got, ref, err_msg=f"mesh {n}")
+
+
+@pytest.mark.slow
+def test_degrain_clip_mesh_invariance_realistic():
+    """The VERDICT r1 criterion: >=512x512, blk16, pel2, overlap,
+    bit-identical across mesh shapes {1,2,4,8}.
+
+    Uses the exact engine: its sequential semantics make bit-identity a
+    hard contract, and the lockstep engine's whole-plane XLA program is
+    impractical to compile on the CPU test backend at this size (the
+    lockstep sharded path is exercised by __graft_entry__.dryrun_multichip
+    and the TPU bench)."""
+    rng = np.random.default_rng(1)
+    T, H, W = 8, 512, 512
+    clip = _noisy_clip(rng, T, H, W, motion=True)
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, chroma=False, levels=3)
+    acfg = AnalyseConfig(blksize=16, chroma=False, levels=3, overlap=8)
+    dcfg = DegrainConfig(thsad=400)
+    ref = _run_clip(clip, fmt, scfg, acfg, dcfg, 1, "exact", 1)
+    for n in (2, 4, 8):
+        got = _run_clip(clip, fmt, scfg, acfg, dcfg, 1, "exact", n)
+        np.testing.assert_array_equal(got, ref, err_msg=f"mesh {n}")
+
+
+def test_degrain_clip_edge_uses_default_field_semantics():
+    """Frame 0 must treat its missing backward neighbours as invalid
+    (reference default-field path), not wrap to the clip tail."""
+    rng = np.random.default_rng(2)
+    T, H, W = 4, 48, 64
+    clip = _noisy_clip(rng, T, H, W, motion=False)
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=1, chroma=False, levels=1)
+    acfg = AnalyseConfig(blksize=8, chroma=False, levels=1)
+    dcfg = DegrainConfig(thsad=400)
+    sspec = scfg.validate(fmt)
+    import dataclasses
+    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+
+    out = _run_clip(clip, fmt, scfg, acfg, dcfg, 1, "exact", None)
+    f = [jnp.asarray(p) for p in clip]
+    # frame 0: prev neighbour replicated (content irrelevant), marked
+    # invalid -> only the backward ref contributes
+    want0 = degrain_n_frame([f[0]], [[f[0]]], [[f[1]]], sspec, aspec_b,
+                            aspec_f, dcfg, engine="exact",
+                            valid_b=[jnp.asarray(True)],
+                            valid_f=[jnp.asarray(False)])
+    np.testing.assert_array_equal(out[0], np.asarray(want0[0]))
+    # last frame: forward-only
+    wantT = degrain_n_frame([f[3]], [[f[2]]], [[f[3]]], sspec, aspec_b,
+                            aspec_f, dcfg, engine="exact",
+                            valid_b=[jnp.asarray(False)],
+                            valid_f=[jnp.asarray(True)])
+    np.testing.assert_array_equal(out[3], np.asarray(wantT[0]))
+
+
+def test_field_shift_truth_table():
+    """MVAnalyse.c:174-178 / MVCompensate.c:188-225 semantics."""
+    # no shift when progressive, pel 1, or even delta
+    assert fields_mod.field_shift(3, 4, 2, False, True) == 0
+    assert fields_mod.field_shift(3, 4, 1, True, True) == 0
+    assert fields_mod.field_shift(2, 4, 2, True, True) == 0
+    # tff=True: even frames top; src top + ref bottom -> +pel/2
+    assert fields_mod.field_shift(0, 1, 2, True, True) == 1
+    assert fields_mod.field_shift(1, 2, 2, True, True) == -1
+    assert fields_mod.field_shift(0, 1, 4, True, True) == 2
+    # tff=False flips
+    assert fields_mod.field_shift(0, 1, 2, True, False) == -1
+    # _Field props override when tff absent
+    assert fields_mod.field_shift(0, 1, 2, True, None,
+                                  src_top_field=True,
+                                  ref_top_field=False) == 1
+    with pytest.raises(ValueError, match="_Field property not found"):
+        fields_mod.field_shift(0, 1, 2, True, None)
+    # traced variant agrees with the static one for odd/even deltas
+    for tff in (True, False):
+        for g in range(4):
+            for k in (-3, -2, -1, 1, 2, 3):
+                want = fields_mod.field_shift(g, g + k, 2, True, tff)
+                got = int(fields_mod.field_shift_traced(
+                    jnp.int32(g), k, 2, True, tff))
+                assert got == want, (g, k, tff)
+
+
+def test_degrain_clip_fields_smoke():
+    """Interlaced clip path: per-frame field shift threads through the
+    pipeline (alternating sign), output well-formed and mesh-invariant."""
+    rng = np.random.default_rng(3)
+    full = rng.integers(0, 256, (96, 64)).astype(np.float32)
+    # field-separated static clip: top, bottom, top, bottom
+    fields = [full[0::2], full[1::2], full[0::2], full[1::2]]
+    clip = np.stack([np.clip(f + rng.normal(0, 5, f.shape), 0, 255)
+                     for f in fields]).astype(np.uint8)
+    H, W = clip.shape[1:]
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, chroma=False, levels=1)
+    acfg = AnalyseConfig(blksize=8, chroma=False, levels=1, fields=True,
+                         tff=True)
+    dcfg = DegrainConfig(thsad=500)
+    # radius 2: the distance-2 neighbours share the frame's field parity
+    # (no shift, static content), so denoising must actually help
+    ref = _run_clip(clip, fmt, scfg, acfg, dcfg, 2, "exact", None)
+    assert ref.shape == clip.shape
+    clean = np.stack(fields)
+    mse_in = float(np.mean((clip.astype(np.float32) - clean) ** 2))
+    mse_out = float(np.mean((ref.astype(np.float32) - clean) ** 2))
+    assert mse_out < 0.8 * mse_in
+    got = _run_clip(clip, fmt, scfg, acfg, dcfg, 2, "exact", 4)
+    np.testing.assert_array_equal(got, ref)
+    with pytest.raises(ValueError, match="must pass tff"):
+        degrain_clip([jnp.asarray(clip)], fmt, scfg,
+                     AnalyseConfig(blksize=8, chroma=False, levels=1,
+                                   fields=True), dcfg, radius=1,
+                     engine="exact")
