@@ -174,6 +174,48 @@ class FieldProber:
         cs = self.chroma_sads(vx, vy)[:, 0]
         return ls + cs
 
+    def plain_sads_multi(self, vxs, vys):
+        """[nblk, K] unmasked SADs at K clamped candidates per block —
+        one probe launch for all K (the predictor trials batched)."""
+        cy = self.base_y[:, None] + jnp.stack(vys, axis=1)
+        cx = self.base_x[:, None] + jnp.stack(vxs, axis=1)
+        ls = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
+                                  ((0, 0),), self.bs[1], self.bs[0],
+                                  self.pel)[:, :, 0].astype(I64)
+        if not self.chroma:
+            return ls
+        k = len(vxs)
+        vx_flat = jnp.stack(vxs, axis=1).reshape(-1)
+        vy_flat = jnp.stack(vys, axis=1).reshape(-1)
+        logx, logy = self.ctx.log_ratio_uv
+        logp = self.logp
+        xbias = jnp.where(vx_flat < 0, (1 << logx) - 1, 0)
+        ybias = jnp.where(vy_flat < 0, (1 << logy) - 1, 0)
+        n = self.cbase_x.shape[0]
+        cxc = ((jnp.repeat(self.cbase_x + self.padc, k) << logp)
+               + ((vx_flat + xbias) >> logx)).reshape(n, k)
+        cyc = ((jnp.repeat(self.cbase_y + self.padc, k) << logp)
+               + ((vy_flat + ybias) >> logy)).reshape(n, k)
+        su = probe_ops.probe_sads(self.stack_u, cyc, cxc,
+                                  self.src_u_blocks, ((0, 0),),
+                                  self.bsc[1], self.bsc[0], self.pel)
+        sv = probe_ops.probe_sads(self.stack_v, cyc, cxc,
+                                  self.src_v_blocks, ((0, 0),),
+                                  self.bsc[1], self.bsc[0], self.pel)
+        return ls + (su[:, :, 0] + sv[:, :, 0]).astype(I64)
+
+    def sad_table(self, cx0, cy0, offsets):
+        """(luma, chroma) SAD tables [nblk, D] for static pel `offsets`
+        around per-block centres — ONE window probe per block for luma
+        (the whole offset set shares a window)."""
+        cy = (self.base_y + cy0)[:, None]
+        cx = (self.base_x + cx0)[:, None]
+        ls = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
+                                  offsets, self.bs[1], self.bs[0],
+                                  self.pel)[:, 0, :].astype(I64)
+        cs = self.chroma_sads(cx0, cy0, offsets)
+        return ls, cs
+
 
 def _ring_offsets(r, s):
     offs = []
@@ -209,7 +251,127 @@ _HEXP = [(-1, -2), (-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2),
 _MOD6M1 = [5, 0, 1, 2, 3, 4, 5, 0]
 
 
+def _update_from_cols(p: FieldProber, st, ls_cols, cs_cols, vxs, vys,
+                      lam, pred, dir_vals=None, masks=None,
+                      update_xy=True, penalty_new=True):
+    """check() semantics (first strict improvement in order) from
+    precomputed SAD columns: ls_cols/cs_cols/vxs/vys are equal-length
+    lists of [nblk] arrays, one per candidate, already in evaluation
+    order."""
+    dxmin, dxmax, dymin, dymax = p.bounds
+    for d in range(len(ls_cols)):
+        vx, vy = vxs[d], vys[d]
+        ok = ((vx >= dxmin) & (vy >= dymin) & (vx < dxmax) & (vy < dymax))
+        if masks is not None and masks[d] is not None:
+            ok = ok & masks[d]
+        ls = ls_cols[d]
+        cs = cs_cols[d]
+        sad_tot = ls + cs
+        pdx = (pred[0] - jnp.clip(vx, dxmin, dxmax - 1)).astype(I32)
+        pdy = (pred[1] - jnp.clip(vy, dymin, dymax - 1)).astype(I32)
+        dist = (pdx * pdx + pdy * pdy).astype(I32)
+        cost = ((lam * dist.astype(I64)) >> 8).astype(I32).astype(I64) \
+            + sad_tot
+        if penalty_new:
+            pn = _i64(p.pnew)
+            cost = cost + ((pn * ls) >> 8) + ((pn * cs) >> 8)
+        cost = jnp.where(ok, cost, _INF)
+        improve = cost < st["mincost"]
+        if update_xy:
+            st = dict(st,
+                      bx=jnp.where(improve, vx, st["bx"]),
+                      by=jnp.where(improve, vy, st["by"]))
+        st = dict(st,
+                  bsad=jnp.where(improve, sad_tot, st["bsad"]),
+                  mincost=jnp.where(improve, cost, st["mincost"]))
+        if dir_vals is not None:
+            st = dict(st, dir=jnp.where(improve, _i32(dir_vals[d]),
+                                        st["dir"]))
+    return st
+
+
+def _hex2_range2(p: FieldProber, st, lam, pred, active=None):
+    """pobHex2Search for i_me_range == 2 (the default searchparam) from a
+    SINGLE window probe: at range 2 the direction walk never iterates
+    (i starts at 1, bound range/2 == 1), so the whole search is the
+    initial hexagon + the final ±1 ring at the (possibly moved) centre —
+    all 7 possible centres' ring candidates live in one static offset
+    set.  Exactly the candidate order of the masked implementation."""
+    nblk = st["bx"].shape[0]
+    hex6 = [(-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2), (-1, -2)]
+    ring = _ring_offsets(1, 1)
+    centres = [(0, 0)] + hex6          # dir -2 -> stay, dir d -> hex6[d]
+    # static offset table: hexagon + every centre's ring, dedup'd
+    table = list(hex6)
+    index = {o: i for i, o in enumerate(table)}
+    for c in centres:
+        for r in ring:
+            o = (c[0] + r[0], c[1] + r[1])
+            if o not in index:
+                index[o] = len(table)
+                table.append(o)
+    cx0, cy0 = st["bx"], st["by"]
+    ls, cs = p.sad_table(cx0, cy0, tuple(table))
+
+    def col(o):
+        i = index[o]
+        return ls[:, i], cs[:, i]
+
+    # stage A: hexagon, update_xy=False, dirs 0..5
+    st = dict(st, dir=jnp.full((nblk,), -2, I32))
+    masks = None if active is None else [active] * 6
+    lsA, csA, vxA, vyA = [], [], [], []
+    for (dx, dy) in hex6:
+        lcol, ccol = col((dx, dy))
+        lsA.append(lcol)
+        csA.append(ccol)
+        vxA.append(cx0 + dx)
+        vyA.append(cy0 + dy)
+    st = _update_from_cols(p, st, lsA, csA, vxA, vyA, lam, pred,
+                           dir_vals=[0, 1, 2, 3, 4, 5], masks=masks,
+                           update_xy=False)
+
+    # move the centre per dir (walk loop is empty at range 2)
+    d0 = jnp.clip(st["dir"], -1, 6)
+    hx = jnp.asarray([h[0] for h in _HEXP], I32)
+    hy = jnp.asarray([h[1] for h in _HEXP], I32)
+    walked = st["dir"] != -2
+    bmx = jnp.where(walked, cx0 + hx[d0 + 1], cx0)
+    bmy = jnp.where(walked, cy0 + hy[d0 + 1], cy0)
+    st = dict(st, bx=bmx, by=bmy)
+
+    # final ring at the moved centre: per ring slot, select the SAD
+    # column by centre case (7 static cases — no gathers)
+    case = jnp.where(walked, st["dir"], -1)      # -1 = stayed
+    lsR, csR, vxR, vyR = [], [], [], []
+    for (rx, ry) in ring:
+        lcol = jnp.zeros((nblk,), I64)
+        ccol = jnp.zeros((nblk,), I64)
+        for ci, (cxo, cyo) in enumerate(centres):
+            l_c, c_c = col((cxo + rx, cyo + ry))
+            sel = case == (ci - 1)
+            lcol = jnp.where(sel, l_c, lcol)
+            ccol = jnp.where(sel, c_c, ccol)
+        lsR.append(lcol)
+        csR.append(ccol)
+        vxR.append(bmx + rx)
+        vyR.append(bmy + ry)
+    masks = None if active is None else [active] * len(ring)
+    return _update_from_cols(p, st, lsR, csR, vxR, vyR, lam, pred,
+                             masks=masks)
+
+
 def _hex2(p: FieldProber, st, i_me_range, lam, pred, active=None):
+    # the single-probe merged variant trades ~2x per-offset VPU work for
+    # one less DMA pass; on current hardware the two-call path measures
+    # faster at blk16 (see BASELINE.md), so it stays opt-in
+    import os
+    if i_me_range == 2 and os.environ.get("MVT_HEX2_MERGED", "0") == "1":
+        return _hex2_range2(p, st, lam, pred, active=active)
+    return _hex2_general(p, st, i_me_range, lam, pred, active=active)
+
+
+def _hex2_general(p: FieldProber, st, i_me_range, lam, pred, active=None):
     """pobHex2Search (PlaneOfBlocks.cpp:661-724) at field level: the
     direction walk probes the full 8-entry hexagon window with a
     direction-dependent per-block mask."""
@@ -494,35 +656,24 @@ def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
         st = refine(p, st, search, param, lam, pred)
         results.append(st)
 
-    # ---- global trial ------------------------------------------------------
     gxc = jnp.clip(jnp.broadcast_to(gx, (nblk,)), dxmin, dxmax - 1)
     gyc = jnp.clip(jnp.broadcast_to(gy, (nblk,)), dymin, dymax - 1)
-    sad_g = p.plain_sad(gxc, gyc)
-    cost_g = sad_g + ((_i64(pglobal) * sad_g) >> 8)
-    take = (cost_g < st["mincost"]) | trymany
-    st = dict(st,
-              bx=jnp.where(take, gxc, st["bx"]),
-              by=jnp.where(take, gyc, st["by"]),
-              bsad=jnp.where(take, sad_g, st["bsad"]),
-              mincost=jnp.where(take, cost_g, st["mincost"]))
+
     if trymany:
+        # ---- global trial --------------------------------------------------
+        sad_g = p.plain_sad(gxc, gyc)
+        cost_g = sad_g + ((_i64(pglobal) * sad_g) >> 8)
+        st = dict(st, bx=gxc, by=gyc, bsad=sad_g, mincost=cost_g)
         st = refine(p, st, search, param, lam, pred)
         results.append(st)
 
-    # ---- main predictor (cost = plain sad) ---------------------------------
-    sad_p = p.plain_sad(prx, pry)
-    take = (sad_p < st["mincost"]) | trymany
-    st = dict(st,
-              bx=jnp.where(take, prx, st["bx"]),
-              by=jnp.where(take, pry, st["by"]),
-              bsad=jnp.where(take, sad_p, st["bsad"]),
-              mincost=jnp.where(take, sad_p, st["mincost"]))
-    if trymany:
+        # ---- main predictor (cost = plain sad) -----------------------------
+        sad_p = p.plain_sad(prx, pry)
+        st = dict(st, bx=prx, by=pry, bsad=sad_p, mincost=sad_p)
         st = refine(p, st, search, param, lam, pred)
         results.append(st)
 
-    # ---- neighbour predictors (bounds + MD, no penaltyNew) -----------------
-    if trymany:
+        # ---- neighbour predictors (bounds + MD, no penaltyNew) -------------
         for i in range(4):
             st = dict(st, mincost=jnp.full((nblk,), verybig + 1, I64))
             qx, qy = preds[i]
@@ -542,9 +693,38 @@ def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
                   mincost=jnp.where(improve, pick("mincost"),
                                     st["mincost"]))
     else:
-        for i in range(4):
-            qx, qy = preds[i]
-            st = p.check(st, qx, qy, penalty_new=False, lam=lam, pred=pred)
+        # ---- global + main + 4 neighbour predictors, ONE probe launch ------
+        qs = [(jnp.clip(q[0], dxmin, dxmax - 1),
+               jnp.clip(q[1], dymin, dymax - 1)) for q in preds]
+        sads = p.plain_sads_multi(
+            [gxc, prx] + [q[0] for q in qs],
+            [gyc, pry] + [q[1] for q in qs])          # [nblk, 6]
+        # global: cost = sad + pglobal penalty, unconditional bounds-free
+        sad_g = sads[:, 0]
+        cost_g = sad_g + ((_i64(pglobal) * sad_g) >> 8)
+        take = cost_g < st["mincost"]
+        st = dict(st,
+                  bx=jnp.where(take, gxc, st["bx"]),
+                  by=jnp.where(take, gyc, st["by"]),
+                  bsad=jnp.where(take, sad_g, st["bsad"]),
+                  mincost=jnp.where(take, cost_g, st["mincost"]))
+        # main predictor: cost = plain sad
+        sad_p = sads[:, 1]
+        take = sad_p < st["mincost"]
+        st = dict(st,
+                  bx=jnp.where(take, prx, st["bx"]),
+                  by=jnp.where(take, pry, st["by"]),
+                  bsad=jnp.where(take, sad_p, st["bsad"]),
+                  mincost=jnp.where(take, sad_p, st["mincost"]))
+        # neighbours: bounds mask + MD cost, no penaltyNew (the SAD was
+        # probed at the clamped position, exact whenever valid)
+        st = _update_from_cols(
+            p, st,
+            [sads[:, 2 + i] for i in range(4)],
+            [jnp.zeros((nblk,), I64)] * 4,
+            [preds[i][0] for i in range(4)],
+            [preds[i][1] for i in range(4)],
+            lam, pred, penalty_new=False)
         st = refine(p, st, search, param, lam, pred)
 
     # ---- bad-SAD rescue (PlaneOfBlocks.cpp:938-963) ------------------------

@@ -114,7 +114,7 @@ def _offset_classes(offsets, pel):
 
 def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
                   win_scratch, coord_smem, sems, coord_sem, *,
-                  offsets, bs_y, bs_x, pel, chunk, k):
+                  offsets, bs_y, bs_x, pel, chunk, k, single_sum):
     logp = pel.bit_length() - 1
     pelm = np.int32(pel - 1)
     min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
@@ -203,11 +203,17 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
             cy, cx = center(t)
             _, _, ry, rx = window_base(t)
             # un-rotate the alignment shift so window-relative indices
-            # match the unaligned base (dynamic rotate needs 32-bit data)
+            # match the unaligned base (dynamic rotate needs 32-bit
+            # data); the sublane roll runs on the full window, then the
+            # rows in use are sliced before the costlier lane roll
+            logical_wy, logical_wx = _window_geom(offsets, bs_y, bs_x,
+                                                  pel)[2:]
+            rows2 = min(-(-logical_wy // 8) * 8, win_scratch.shape[2])
             planes = []
             for ci in range(len(classes)):
                 w2 = win_scratch[slot, ci].astype(jnp.int32)
                 w2 = pltpu.roll(w2, -ry, 0)
+                w2 = jax.lax.slice(w2, (0, 0), (rows2, w2.shape[1]))
                 w2 = pltpu.roll(w2, -rx, 1)
                 planes.append(w2)
             par_y = cy & pelm
@@ -236,12 +242,19 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
                                  & (par_x == np.int32(qx)))
                             sel = c if sel is None else (sel | c)
                         blk = jnp.where(sel, cand, blk)
-                # i64-free SAD: two exact f32 partial sums
+                # i64-free SAD (jnp.sum(int32) accumulates in i64 under
+                # x64, which Mosaic rejects): 8-bit data sums exactly in
+                # one f32 pass (max 255*blkarea < 2^24); 16-bit needs the
+                # hi/lo split
                 v = jnp.abs(blk - src)
-                lo = jnp.sum((v & 255).astype(jnp.float32))
-                hi = jnp.sum((v >> 8).astype(jnp.float32))
-                sads.append(lo.astype(jnp.int32)
-                            + (hi.astype(jnp.int32) << 8))
+                if single_sum:
+                    sads.append(jnp.sum(v.astype(jnp.float32))
+                                .astype(jnp.int32))
+                else:
+                    lo = jnp.sum((v & 255).astype(jnp.float32))
+                    hi = jnp.sum((v >> 8).astype(jnp.float32))
+                    sads.append(lo.astype(jnp.int32)
+                                + (hi.astype(jnp.int32) << 8))
             rows.append(jnp.stack(sads))
             nxt = t + n_buf
             if nxt < n_dma:
@@ -280,9 +293,11 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
     cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
     cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
 
+    single_sum = (stack.dtype == jnp.uint8
+                  and 255 * bs_y * bs_x < (1 << 24))
     kernel = functools.partial(
         _probe_kernel, offsets=offsets, bs_y=bs_y, bs_x=bs_x, pel=pel,
-        chunk=chunk, k=kk)
+        chunk=chunk, k=kk, single_sum=single_sum)
 
     z = np.int32(0)
     out = pl.pallas_call(
@@ -322,3 +337,124 @@ def probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
                                  bs_y, bs_x, pel)
     return probe_sads_xla(stack, cand_y, cand_x, src_blocks.astype(I32),
                           offsets, bs_y, bs_x, pel)
+
+
+# ---------------------------------------------------------------------------
+# Block fetch: the consumer-side gather (Degrain/Compensate useBlock,
+# MVDegrains.h:192-206) as a window-DMA kernel — per (block, ref) the XLA
+# per-block dynamic-slice gather costs ~1.4us; the DMA pipeline here
+# sustains ~0.3us.
+
+
+def _fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
+                  coord_smem, sems, coord_sem, *, bs_y, bs_x, pel, chunk,
+                  k):
+    logp = pel.bit_length() - 1
+    pelm = np.int32(pel - 1)
+    wy = -(-(bs_y + 8) // 32) * 32
+    wx = -(-(bs_x + 128) // 128) * 128
+    n_dma = chunk * k
+    n_buf = win_scratch.shape[0]
+    g = pl.program_id(0)
+
+    row = pl.multiple_of(g * np.int32(chunk), chunk)
+    cpy = pltpu.make_async_copy(cy_ref.at[pl.ds(row, chunk)],
+                                coord_smem.at[np.int32(0)], coord_sem)
+    cpy.start()
+    cpy.wait()
+    cpx = pltpu.make_async_copy(cx_ref.at[pl.ds(row, chunk)],
+                                coord_smem.at[np.int32(1)], coord_sem)
+    cpx.start()
+    cpx.wait()
+
+    def center(t):
+        b = t // k
+        kk = t % k
+        return (coord_smem[np.int32(0), np.int32(b), np.int32(kk)],
+                coord_smem[np.int32(1), np.int32(b), np.int32(kk)])
+
+    def window_base(t):
+        cy, cx = center(t)
+        wb_y = cy >> logp
+        wb_x = cx >> logp
+        ay = pl.multiple_of(wb_y & np.int32(~7), 8)
+        ax = pl.multiple_of(wb_x & np.int32(~127), 128)
+        return ay, ax, wb_y & np.int32(7), wb_x & np.int32(127)
+
+    def make_dma(t, slot):
+        ay, ax, _, _ = window_base(t)
+        cy, cx = center(t)
+        sub = (cx & pelm) | ((cy & pelm) << logp)
+        return pltpu.make_async_copy(
+            stack_ref.at[sub, pl.ds(ay, wy), pl.ds(ax, wx)],
+            win_scratch.at[np.int32(slot)], sems.at[np.int32(slot)])
+
+    for t in range(min(n_buf, n_dma)):
+        make_dma(t, t).start()
+
+    rows2 = min(-(-bs_y // 8) * 8, wy)
+    for b in range(chunk):
+        blks = []
+        for kk in range(k):
+            t = b * k + kk
+            slot = t % n_buf
+            make_dma(t, slot).wait()
+            _, _, ry, rx = window_base(t)
+            w2 = win_scratch[slot].astype(jnp.int32)
+            w2 = pltpu.roll(w2, -ry, 0)
+            w2 = jax.lax.slice(w2, (0, 0), (rows2, w2.shape[1]))
+            w2 = pltpu.roll(w2, -rx, 1)
+            blks.append(jax.lax.slice(w2, (0, 0), (bs_y, bs_x)))
+            nxt = t + n_buf
+            if nxt < n_dma:
+                make_dma(nxt, slot).start()
+        out_ref[b] = jnp.stack(blks)
+
+
+def fetch_blocks_pallas(stack, cand_y, cand_x, bs_y: int, bs_x: int,
+                        pel: int, chunk: int = 0, n_buf: int = 0):
+    """[nblk, K, bs_y, bs_x] int32 blocks at per-block pel positions.
+
+    stack: pad_stack output; cand_y/cand_x: [nblk, K] PEL positions of
+    the block origin (frame padding + probe padding included)."""
+    nblk, kk = cand_y.shape
+    if chunk <= 0:
+        chunk = max(1, min(64, 64 // kk))
+    if n_buf <= 0:
+        n_buf = max(4, min(48, chunk * kk))
+    wy = -(-(bs_y + 8) // 32) * 32
+    wx = -(-(bs_x + 128) // 128) * 128
+
+    pad_blk = (-nblk) % chunk
+    if pad_blk:
+        cand_y = jnp.pad(cand_y, ((0, pad_blk), (0, 0)), mode="edge")
+        cand_x = jnp.pad(cand_x, ((0, pad_blk), (0, 0)), mode="edge")
+    n = cand_y.shape[0]
+    grid = n // chunk
+    cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
+    cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
+
+    kernel = functools.partial(_fetch_kernel, bs_y=bs_y, bs_x=bs_x,
+                               pel=pel, chunk=chunk, k=kk)
+    z = np.int32(0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((chunk, kk, bs_y, bs_x),
+                               lambda g: (g, z, z, z),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, wy, wx), stack.dtype),
+            pltpu.SMEM((2, chunk, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, kk, bs_y, bs_x), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(cand_y, cand_x, stack)
+    return out[:nblk]
