@@ -38,8 +38,241 @@ REF_SCALAR_BASELINE_FPS = 22.0
 CPU_BASELINE_FPS = REF_SCALAR_BASELINE_FPS
 
 
+def _psnr(a, b, peak=255.0):
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    if mse == 0:
+        return 99.0
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def bench_config(cfg_id: int):
+    """BASELINE.json configs 1-5, one JSON line each
+    (MVT_BENCH_CONFIG=N).  PSNR-vs-exact parity for configs 4/5 with
+    MVT_BENCH_PSNR=1 (measured at 512x288 where the exact engine is
+    affordable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvtools_tpu import analyse, build_super
+    from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
+    from mvtools_tpu.core.types import ColorFamily, SearchType, VideoFormat
+    from mvtools_tpu.degrain import DegrainConfig
+
+    rng = np.random.default_rng(0)
+    backend = jax.default_backend()
+    want_psnr = bool(os.environ.get("MVT_BENCH_PSNR"))
+
+    def gray_clip(t, w, h):
+        base = rng.integers(0, 256, (h + 32, w + 32), np.uint8)
+        return jnp.asarray(np.stack(
+            [base[(i * 2) % 16:(i * 2) % 16 + h,
+                  (i * 3) % 16:(i * 3) % 16 + w] for i in range(t)]))
+
+    def timed(step, windows, frames_per_call):
+        out = step(windows[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for wdw in windows:
+            out = step(wdw)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return len(windows) * frames_per_call / dt
+
+    def emit(metric, fps, extra=None):
+        rec = {"metric": metric, "value": round(fps, 3),
+               "unit": "frames/s", "vs_baseline": 0.0}
+        if extra:
+            rec.update(extra)
+        print(json.dumps(rec))
+
+    B, iters = 8, 3
+
+    if cfg_id == 1:
+        w, h = 1280, 720
+        fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+        sspec = SuperConfig(pel=1, levels=1, chroma=False).validate(fmt)
+        aspec = AnalyseConfig(blksize=16, levels=1,
+                              search=SearchType.EXHAUSTIVE, searchparam=4,
+                              truemotion=True, chroma=False).validate(sspec)
+
+        def step(wdw):
+            sups = jax.lax.map(lambda f: build_super([f], sspec), wdw)
+            def one(i):
+                mv = analyse(
+                    jax.tree_util.tree_map(lambda a: a[i], sups),
+                    jax.tree_util.tree_map(lambda a: a[i + 1], sups),
+                    aspec, engine="lockstep")
+                return mv.finest.sad.sum()
+            return jax.lax.map(one, jnp.arange(B))
+
+        clip = gray_clip(B * iters + 1, w, h)
+        windows = [clip[b * B:b * B + B + 1] for b in range(iters)]
+        fps = timed(jax.jit(step), windows, B)
+        emit("config1 MSuper+MAnalyse 720p blk16 single-level full-pel "
+             f"exhaustive frames/s ({backend})", fps)
+
+    elif cfg_id == 2:
+        w, h = 1920, 1080
+        fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+        sspec = SuperConfig(pel=4, levels=0, chroma=False).validate(fmt)
+        aspec = AnalyseConfig(blksize=16, levels=0, search=SearchType.HEX2,
+                              searchparam=2, truemotion=True,
+                              chroma=False).validate(sspec)
+
+        def step(wdw):
+            sups = jax.lax.map(lambda f: build_super([f], sspec), wdw)
+            def one(i):
+                mv = analyse(
+                    jax.tree_util.tree_map(lambda a: a[i], sups),
+                    jax.tree_util.tree_map(lambda a: a[i + 1], sups),
+                    aspec, engine="lockstep")
+                return mv.finest.sad.sum()
+            return jax.lax.map(one, jnp.arange(B))
+
+        clip = gray_clip(B * iters + 1, w, h)
+        windows = [clip[b * B:b * B + B + 1] for b in range(iters)]
+        fps = timed(jax.jit(step), windows, B)
+        emit("config2 hierarchical MAnalyse hex2 qpel (pel=4) 1080p "
+             f"frames/s ({backend})", fps)
+
+    elif cfg_id == 3:
+        from mvtools_tpu.recalculate import RecalculateConfig, recalculate
+        w, h = 1920, 1080
+        fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+        sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+        aspec = AnalyseConfig(blksize=16, levels=0, truemotion=True,
+                              chroma=False).validate(sspec)
+        rcfg = RecalculateConfig(blksize=16, overlap=8, thsad=200,
+                                 chroma=False, truemotion=True, dct=5)
+        rspec = rcfg.to_analyse_config().validate(sspec)
+
+        def step(wdw):
+            sups = jax.lax.map(lambda f: build_super([f], sspec), wdw)
+            def one(i):
+                sa = jax.tree_util.tree_map(lambda a: a[i], sups)
+                sb = jax.tree_util.tree_map(lambda a: a[i + 1], sups)
+                mv = analyse(sa, sb, aspec, engine="lockstep")
+                mv2 = recalculate(sa, sb, mv, rspec, rcfg)
+                return mv2.levels[0].sad.sum()
+            return jax.lax.map(one, jnp.arange(B))
+
+        clip = gray_clip(B * iters + 1, w, h)
+        windows = [clip[b * B:b * B + B + 1] for b in range(iters)]
+        fps = timed(jax.jit(step), windows, B)
+        emit("config3 MRecalculate overlap=8 SATD(dct=5) 1080p frames/s "
+             f"({backend})", fps)
+
+    elif cfg_id == 4:
+        from mvtools_tpu.models.denoise import degrain_clip
+        w, h = 1920, 1080
+        fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
+        scfg = SuperConfig(pel=2, levels=0, chroma=True)
+        acfg = AnalyseConfig(blksize=16, levels=0, overlap=8,
+                             truemotion=True, chroma=True)
+        dcfg = DegrainConfig(thsad=400)
+
+        def yuv_clip(t, w_, h_):
+            y = gray_clip(t, w_, h_)
+            u = gray_clip(t, w_ // 2, h_ // 2)
+            v = gray_clip(t, w_ // 2, h_ // 2)
+            return [y, u, v]
+
+        def step(planes):
+            return degrain_clip(planes, fmt, scfg, acfg, dcfg, radius=3,
+                                engine="lockstep")[0]
+
+        T = B + 6
+        clips = [yuv_clip(T, w, h) for _ in range(iters + 1)]
+        step_j = jax.jit(step)
+        out = step_j(clips[-1])
+        jax.block_until_ready(out)
+        # materialize a pixel per call: the device runtime memoizes
+        # repeated executions and resolves async futures lazily — a
+        # host-side read forces real completion
+        ts = []
+        for c in clips[:iters]:
+            t0 = time.perf_counter()
+            out = step_j(c)
+            float(out[0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+            print(f"# config4 batch: {ts[-1]:.2f}s for {T} frames",
+                  flush=True)
+        fps = T / min(ts)
+        extra = None
+        if want_psnr:
+            sw, sh = 512, 288
+            sfmt = VideoFormat(sw, sh, 8, ColorFamily.YUV420)
+            small = yuv_clip(6, sw, sh)
+            lock = degrain_clip(small, sfmt, scfg, acfg, dcfg, radius=3,
+                                engine="lockstep")
+            exact = degrain_clip(small, sfmt, scfg, acfg, dcfg, radius=3,
+                                 engine="exact")
+            extra = {"psnr_vs_exact_512x288":
+                     round(_psnr(lock[0], exact[0]), 2)}
+        emit("config4 MDegrain3 6 refs overlap=8 1080p YUV420 frames/s "
+             f"({backend})", fps, extra)
+
+    elif cfg_id == 5:
+        from mvtools_tpu.flowfps import FlowFPSConfig, flowfps_frame
+        w, h = 1920, 1080
+        fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+        sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+        acfg = AnalyseConfig(blksize=16, levels=0, truemotion=True,
+                             chroma=False)
+        aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+        aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+        fcfg = FlowFPSConfig(maskmode=2)
+
+        def step(wdw):
+            sups = jax.lax.map(lambda f: build_super([f], sspec), wdw)
+            def one(i):
+                sa = jax.tree_util.tree_map(lambda a: a[i], sups)
+                sb = jax.tree_util.tree_map(lambda a: a[i + 1], sups)
+                mv_b = analyse(sa, sb, aspec_b, engine="lockstep")
+                mv_f = analyse(sb, sa, aspec_f, engine="lockstep")
+                return flowfps_frame([wdw[i]], [wdw[i + 1]], sa, sb,
+                                     mv_b, mv_f, aspec_b.meta, fcfg,
+                                     128)[0]
+            return jax.lax.map(one, jnp.arange(B))
+
+        clip = gray_clip(B * iters + 1, w, h)
+        windows = [clip[b * B:b * B + B + 1] for b in range(iters)]
+        # each input pair yields one interpolated frame; 30->60 doubling
+        # emits 2 output frames per input frame (source + synthesized)
+        fps = timed(jax.jit(step), windows, B) * 2
+        extra = None
+        if want_psnr:
+            sw, sh = 512, 288
+            sclip = gray_clip(3, sw, sh)
+            ssspec = SuperConfig(pel=2, levels=0, chroma=False).validate(
+                VideoFormat(sw, sh, 8, ColorFamily.GRAY))
+            saspec_b = dataclasses.replace(acfg, isb=True).validate(ssspec)
+            saspec_f = dataclasses.replace(acfg, isb=False).validate(ssspec)
+            sa = build_super([sclip[0]], ssspec)
+            sb = build_super([sclip[1]], ssspec)
+            outs = {}
+            for eng in ("lockstep", "exact"):
+                mv_b = analyse(sa, sb, saspec_b, engine=eng)
+                mv_f = analyse(sb, sa, saspec_f, engine=eng)
+                outs[eng] = flowfps_frame(
+                    [sclip[0]], [sclip[1]], sa, sb, mv_b, mv_f,
+                    saspec_b.meta, fcfg, 128)[0]
+            extra = {"psnr_vs_exact_512x288":
+                     round(_psnr(outs["lockstep"], outs["exact"]), 2)}
+        emit("config5 MFlowFPS 30->60 maskmode=2 1080p output-frames/s "
+             f"({backend})", fps, extra)
+
+    else:
+        raise SystemExit(f"unknown MVT_BENCH_CONFIG {cfg_id}")
+
+
 def main():
     import jax
+    cfg_id = os.environ.get("MVT_BENCH_CONFIG")
+    if cfg_id:
+        bench_config(int(cfg_id))
+        return
     if os.environ.get("MVT_BENCH_CPU"):
         # env var alone is ignored when a site customization pre-imports
         # jax with another platform; the config override works until the

@@ -93,6 +93,36 @@ class BlockCtx(NamedTuple):
 # Candidate evaluation
 
 
+def mix_satd_cost(dctmode: int, s, satd_v, src_luma, ref_luma,
+                  dctweight16):
+    """Luma cost for SATD modes 5-10 from precomputed SAD/SATD/luma
+    (pobLumaSAD PlaneOfBlocks.cpp:117-203) — shared by the vmapped
+    evaluator and the field-level lockstep path."""
+    s = s.astype(I64)
+    satd_v = satd_v.astype(I64)
+    if dctmode == 5:
+        return satd_v
+    if dctmode == 6:
+        w16 = _i64(dctweight16)
+        mixed = (s * (16 - w16) + satd_v * w16) // 16
+        return jnp.where(w16 > 0, mixed, s)
+    if dctmode in (7, 8):
+        adapt = jnp.abs(src_luma - ref_luma) > ((src_luma + ref_luma) >> 5)
+        mixed = (s // 2 + satd_v // 2 if dctmode == 7
+                 else s // 4 + satd_v // 2 + satd_v // 4)
+        return jnp.where(adapt, mixed, s)
+    if dctmode == 9:
+        w16 = _i64(dctweight16)
+        wh = w16 // 2
+        mixed = (s * (16 - wh) + satd_v * wh) // 16
+        return jnp.where(w16 > 1, mixed, s)
+    if dctmode == 10:
+        adapt = jnp.abs(src_luma - ref_luma) > ((src_luma + ref_luma) >> 4)
+        mixed = s // 2 + satd_v // 4 + s // 4
+        return jnp.where(adapt, mixed, s)
+    raise ValueError(f"dctmode {dctmode}")
+
+
 def _make_evaluator(ctx: LevelCtx, dctmode: int):
     """Build luma_sad(bc, vxs, vys) and chroma_sad(bc, vxs, vys) closures for
     a batch of candidate vectors [K] (pobLumaSAD PlaneOfBlocks.cpp:117-203,
@@ -153,38 +183,15 @@ def _make_evaluator(ctx: LevelCtx, dctmode: int):
             mixed = (s // 2 + dctsad // 2 if dctmode == 3
                      else s // 4 + dctsad // 2 + dctsad // 4)
             return jnp.where(adapt, mixed, s)
-        if dctmode == 5:
-            return sad_ops.satd(bc.src, refs).astype(I64)
-        if dctmode == 6:
-            s = sad_ops.sad(bc.src, refs).astype(I64)
-            dctsad = sad_ops.satd(bc.src, refs).astype(I64)
-            w16 = _i64(bc.dctweight16)
-            mixed = (s * (16 - w16) + dctsad * w16) // 16
-            return jnp.where(w16 > 0, mixed, s)
-        if dctmode in (7, 8):
-            ref_luma = sad_ops.luma(refs).astype(I64)
-            s = sad_ops.sad(bc.src, refs).astype(I64)
-            dctsad = sad_ops.satd(bc.src, refs).astype(I64)
-            src_luma = _i64(bc.src_luma)
-            adapt = jnp.abs(src_luma - ref_luma) > ((src_luma + ref_luma) >> 5)
-            mixed = (s // 2 + dctsad // 2 if dctmode == 7
-                     else s // 4 + dctsad // 2 + dctsad // 4)
-            return jnp.where(adapt, mixed, s)
-        if dctmode == 9:
-            s = sad_ops.sad(bc.src, refs).astype(I64)
-            dctsad = sad_ops.satd(bc.src, refs).astype(I64)
-            w16 = _i64(bc.dctweight16)
-            wh = w16 // 2
-            mixed = (s * (16 - wh) + dctsad * wh) // 16
-            return jnp.where(w16 > 1, mixed, s)
-        if dctmode == 10:
-            ref_luma = sad_ops.luma(refs).astype(I64)
-            s = sad_ops.sad(bc.src, refs).astype(I64)
-            dctsad = sad_ops.satd(bc.src, refs).astype(I64)
-            src_luma = _i64(bc.src_luma)
-            adapt = jnp.abs(src_luma - ref_luma) > ((src_luma + ref_luma) >> 4)
-            mixed = s // 2 + dctsad // 4 + s // 4
-            return jnp.where(adapt, mixed, s)
+        if 5 <= dctmode <= 10:
+            s = sad_ops.sad(bc.src, refs)
+            satd_v = sad_ops.satd(bc.src, refs)
+            ref_luma = (sad_ops.luma(refs).astype(I64)
+                        if dctmode in (7, 8, 10) else None)
+            src_luma = (_i64(bc.src_luma) if dctmode in (7, 8, 10)
+                        else None)
+            return mix_satd_cost(dctmode, s, satd_v, src_luma, ref_luma,
+                                 bc.dctweight16)
         raise ValueError(f"dctmode {dctmode}")
 
     def chroma_sad(bc: BlockCtx, vxs, vys):
@@ -957,9 +964,30 @@ class DenseEvaluator:
     pure VPU work, bit-identical SAD values.
     """
 
-    def __init__(self, ctx: LevelCtx, x0_a, y0_a, xc_a, yc_a, pad: int):
+    @staticmethod
+    def _blocks_view(region, bs, ov, nb):
+        """[nblk, bsy, bsx] block tensor of a (possibly overlapped) grid
+        region via static slices (no gathers)."""
+        bsx, bsy = bs
+        ovx, ovy = ov
+        nbx, nby = nb
+        sy, sx = bsy - ovy, bsx - ovx
+        rows = jnp.stack([
+            jax.lax.slice(region, (j * sy, 0),
+                          (j * sy + bsy, region.shape[1]))
+            for j in range(nby)])
+        cols = jnp.stack([
+            jax.lax.slice(rows, (0, 0, i * sx), (nby, bsy, i * sx + bsx))
+            for i in range(nbx)], axis=1)
+        return cols.reshape(nby * nbx, bsy, bsx)
+
+    def __init__(self, ctx: LevelCtx, x0_a, y0_a, xc_a, yc_a, pad: int,
+                 dctmode: int = 0, src_luma=None, dctweight16=None):
         self.ctx = ctx
         self.pad = pad
+        self.dctmode = dctmode
+        self.src_luma = None if src_luma is None else src_luma.astype(I64)
+        self.dctweight16 = dctweight16
         bsx, bsy = ctx.blk_size
         bcx, bcy = ctx.blk_size_c
         ovx, ovy = ctx.overlap
@@ -1034,8 +1062,22 @@ class DenseEvaluator:
             self.ref_pad, (idx, sy, sx), (1, self.hr, self.wr)
         )[0].astype(I32)
         diff = jnp.abs(self.src_region - region)
-        return self._block_sums(diff, ctx.blk_size, ctx.overlap, ctx.nblk,
-                                self.rel_y, self.rel_x)
+        s = self._block_sums(diff, ctx.blk_size, ctx.overlap, ctx.nblk,
+                             self.rel_y, self.rel_x)
+        if not self.dctmode:
+            return s
+        # SATD modes: transform per block (no sliding decomposition) via
+        # the static block view; ref luma from box sums
+        if not hasattr(self, "_src_view"):
+            self._src_view = self._blocks_view(
+                self.src_region, ctx.blk_size, ctx.overlap, ctx.nblk)
+        ref_view = self._blocks_view(region, ctx.blk_size, ctx.overlap,
+                                     ctx.nblk)
+        satd_v = sad_ops.satd(self._src_view, ref_view).astype(I64)
+        ref_luma = self._block_sums(region, ctx.blk_size, ctx.overlap,
+                                    ctx.nblk, self.rel_y, self.rel_x)
+        return mix_satd_cost(self.dctmode, s, satd_v, self.src_luma,
+                             ref_luma, self.dctweight16)
 
     def chroma_sads(self, vx, vy):
         ctx = self.ctx
@@ -1269,13 +1311,21 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
     pred_in_y = jnp.clip(vectors_in[1], dymin_a, dymax_a - 1)
     pred_in_s = vectors_in[2]
 
-    # ---- fast path: field-level engine (dctmode 0) ------------------------
-    if dctmode == 0:
+    # ---- fast path: field-level engine (dctmode 0 and SATD modes) --------
+    field_dct_ok = (5 <= dctmode <= 10 and ctx.bits == 8
+                    and sad_ops.satd_supported(bsx, bsy))
+    if dctmode == 0 or field_dct_ok:
         from . import field_engine as fe
         bounds = (dxmin_a, dxmax_a, dymin_a, dymax_a)
+        src_luma_a = (src_luma_blocks.reshape(-1)
+                      if (field_dct_ok and dctmode in (7, 8, 10))
+                      else (jnp.zeros((nblk,), I64) if field_dct_ok
+                            else None))
         prober = fe.FieldProber(ctx, src_blocks, src_u_blocks,
                                 src_v_blocks, x0_a, y0_a, xc_a, yc_a,
-                                bounds, pnew)
+                                bounds, pnew, dctmode=dctmode,
+                                src_luma=src_luma_a,
+                                dctweight16=dctweight16)
         if level_params["badrange"] > 0:
             max_off = level_params["badrange"] * ctx.pel + 4
         elif level_params["badrange"] < 0:
@@ -1283,7 +1333,9 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
         else:
             max_off = 1
         dense = DenseEvaluator(ctx, x0_a, y0_a, xc_a, yc_a,
-                               (max_off >> ctx.log_pel) + 2)
+                               (max_off >> ctx.log_pel) + 2,
+                               dctmode=dctmode, src_luma=src_luma_a,
+                               dctweight16=dctweight16)
         vx_a, vy_a, vs_a = vectors_in
         for it in range(iters):
             p0, p1, p2, p3 = predictors_from(vx_a, vy_a, vs_a)

@@ -59,7 +59,8 @@ class FieldProber:
     PAD = 16  # full-pel window padding beyond the frame's own padding
 
     def __init__(self, ctx, src_blocks, src_u_blocks, src_v_blocks,
-                 x0_a, y0_a, xc_a, yc_a, bounds, pnew):
+                 x0_a, y0_a, xc_a, yc_a, bounds, pnew,
+                 dctmode: int = 0, src_luma=None, dctweight16=None):
         self.ctx = ctx
         self.pel = ctx.pel
         self.logp = ctx.log_pel
@@ -68,6 +69,10 @@ class FieldProber:
         self.chroma = ctx.chroma
         self.bounds = bounds
         self.pnew = pnew
+        self.dctmode = dctmode          # 0 or SATD modes 5-10
+        self.src_luma = (None if src_luma is None
+                         else src_luma.astype(I64))
+        self.dctweight16 = dctweight16
         self.src_blocks = src_blocks.astype(I32)
         self.stack = probe_ops.pad_stack(ctx.ref_stacks[0], self.PAD)
         # block origin in padded pel coordinates
@@ -86,11 +91,30 @@ class FieldProber:
 
     # -- raw SAD evaluation -------------------------------------------------
 
+    def _mix(self, stats3):
+        """[..., 3] (sad, satd, ref-luma) -> mixed luma cost per
+        dctmode (pobLumaSAD)."""
+        from .analyse import mix_satd_cost
+        s = stats3[..., 0].astype(I64)
+        satd_v = stats3[..., 1].astype(I64)
+        rl = stats3[..., 2].astype(I64)
+        sl = self.src_luma
+        while sl.ndim < rl.ndim:
+            sl = sl[..., None]
+        return mix_satd_cost(self.dctmode, s, satd_v, sl, rl,
+                             self.dctweight16)
+
     def luma_sads(self, vx, vy, offsets=((0, 0),)):
-        """[nblk, D] luma SADs at per-block candidates (vx, vy) + static
-        pel offsets."""
+        """[nblk, D] luma costs at per-block candidates (vx, vy) + static
+        pel offsets (plain SAD, or the SATD-mixed cost for dct 5-10)."""
         cy = (self.base_y + vy)[:, None]
         cx = (self.base_x + vx)[:, None]
+        if self.dctmode:
+            out = probe_ops.probe_sads(
+                self.stack, cy, cx, self.src_blocks, offsets,
+                self.bs[1], self.bs[0], self.pel,
+                stats="sad_satd_luma")[:, 0]        # [nblk, D, 3]
+            return self._mix(out)
         out = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
                                    offsets, self.bs[1], self.bs[0],
                                    self.pel)
@@ -175,13 +199,22 @@ class FieldProber:
         return ls + cs
 
     def plain_sads_multi(self, vxs, vys):
-        """[nblk, K] unmasked SADs at K clamped candidates per block —
-        one probe launch for all K (the predictor trials batched)."""
+        """[nblk, K] unmasked luma costs at K clamped candidates per
+        block — one probe launch for all K (the predictor trials
+        batched)."""
         cy = self.base_y[:, None] + jnp.stack(vys, axis=1)
         cx = self.base_x[:, None] + jnp.stack(vxs, axis=1)
-        ls = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
-                                  ((0, 0),), self.bs[1], self.bs[0],
-                                  self.pel)[:, :, 0].astype(I64)
+        if self.dctmode:
+            out = probe_ops.probe_sads(
+                self.stack, cy, cx, self.src_blocks, ((0, 0),),
+                self.bs[1], self.bs[0], self.pel,
+                stats="sad_satd_luma")[:, :, 0]     # [nblk, K, 3]
+            ls = self._mix(out)
+        else:
+            ls = probe_ops.probe_sads(
+                self.stack, cy, cx, self.src_blocks, ((0, 0),),
+                self.bs[1], self.bs[0],
+                self.pel)[:, :, 0].astype(I64)
         if not self.chroma:
             return ls
         k = len(vxs)

@@ -123,14 +123,75 @@ def degrain_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
             field_shift_b=[fs_for(g, k + 1) for k in range(radius)],
             field_shift_f=[fs_for(g, -(k + 1)) for k in range(radius)])
 
+    def pick(tree, i):
+        return jax.tree_util.tree_map(lambda a: a[i], tree)
+
+    def local_body_staged(local_planes, prevs, nexts, prev_ok, next_ok,
+                          g_idx):
+        """Lockstep path: phase-structured scan — each frame's super is
+        built ONCE (not 2*radius+1 times), and the search engine traces
+        once per direction regardless of radius, keeping radius-3+chroma
+        compile times sane.  The Pallas probe kernel also has no vmap
+        batching rule, and the sequential lax.map amortises the runtime's
+        fixed per-execution cost over the shard."""
+        tl = g_idx.shape[0]
+        # rebuild the halo-padded frame stack [tl + 2r] from the views so
+        # every needed frame's super is mapped exactly once
+        stacks = []
+        for pi in range(len(local_planes)):
+            head = [prevs[radius - 1 - k][pi][:1]
+                    for k in range(radius)]      # frames -r..-1 of shard
+            tail = [nexts[k][pi][-1:] for k in range(radius)]
+            stacks.append(jnp.concatenate(
+                head + [local_planes[pi]] + tail, axis=0))
+        sups = jax.lax.map(lambda fp: build_super(list(fp), sspec),
+                           tuple(stacks))
+
+        def analyse_pairs(aspec, ref_off_sign):
+            # flat (frame, delta) pairs; ONE trace of the engine
+            ii = jnp.tile(jnp.arange(tl, dtype=jnp.int32), radius)
+            kk = jnp.repeat(jnp.arange(1, radius + 1, dtype=jnp.int32),
+                            tl)
+
+            def one(args):
+                i, k = args
+                sup_c = pick(sups, i + radius)
+                sup_r = pick(sups, i + radius + ref_off_sign * k)
+                # odd deltas shift by the source frame's field parity;
+                # even deltas don't (field_shift semantics for traced k)
+                fs = fields_mod.field_shift_traced(
+                    g_idx[i], 1, sspec.pel, fields_on,
+                    bool(acfg.tff) if fields_on else False)
+                fs = jnp.where((k % 2) == 1, fs, 0)
+                return analyse(sup_c, sup_r, aspec, engine=engine,
+                               field_shift=fs)
+
+            return jax.lax.map(one, (ii, kk))    # stacked [radius*tl]
+
+        mvs_b = analyse_pairs(aspec_b, +1)
+        mvs_f = analyse_pairs(aspec_f, -1)
+
+        def degrain_one(args):
+            i = args
+            cur = [p[i] for p in local_planes]
+            sups_r = []
+            mvs = []
+            valid = []
+            for k in range(radius):
+                sups_r += [pick(sups, i + radius + (k + 1)),
+                           pick(sups, i + radius - (k + 1))]
+                mvs += [pick(mvs_b, k * tl + i), pick(mvs_f, k * tl + i)]
+                valid += [next_ok[i, k], prev_ok[i, k]]
+            return degrain(cur, sups_r, mvs, aspec_b.meta, dcfg,
+                           valid=valid)
+
+        outs = jax.lax.map(degrain_one, jnp.arange(tl, dtype=jnp.int32))
+        return outs
+
     def local_body(local_planes, prevs, nexts, prev_ok, next_ok, g_idx):
         if engine == "lockstep":
-            # the Pallas probe kernel has no vmap batching rule, and a
-            # sequential scan amortises the per-execution runtime cost
-            # over the whole shard anyway
-            return jax.lax.map(
-                lambda args: per_frame(*args),
-                (local_planes, prevs, nexts, prev_ok, next_ok, g_idx))
+            return local_body_staged(local_planes, prevs, nexts,
+                                     prev_ok, next_ok, g_idx)
         # exact engine: frames vectorize (one big program)
         return jax.vmap(per_frame)(local_planes, prevs, nexts,
                                    prev_ok, next_ok, g_idx)

@@ -67,14 +67,16 @@ def _window_geom(offsets, bs_y: int, bs_x: int, pel: int):
 
 
 def probe_sads_xla(stack, cand_y, cand_x, src_blocks, offsets,
-                   bs_y: int, bs_x: int, pel: int):
-    """Reference implementation: [nblk, K, D] int32 SADs.
+                   bs_y: int, bs_x: int, pel: int, stats: str = "sad"):
+    """Reference implementation: [nblk, K, D] int32 SADs — or
+    [nblk, K, D, 3] (sad, satd, ref-luma) with stats="sad_satd_luma".
 
     stack: [pel^2, Hp, Wp] padded subplane stack (pad_stack output);
     cand_y/cand_x: [nblk, K] candidate pel positions (see module doc);
     src_blocks: [nblk, bs_y, bs_x] int32;
     offsets: static [(dx, dy), ...] pel offsets evaluated per candidate.
     """
+    from . import sad as sad_ops
     logp = pel.bit_length() - 1
     pelm = pel - 1
     min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
@@ -94,7 +96,13 @@ def probe_sads_xla(stack, cand_y, cand_x, src_blocks, offsets,
             ox = (ax >> logp) - wb_x
             blk = jax.lax.dynamic_slice(win, (sub, oy, ox),
                                         (1, bs_y, bs_x))[0]
-            sads.append(jnp.sum(jnp.abs(blk - src)).astype(I32))
+            if stats == "sad_satd_luma":
+                sads.append(jnp.stack([
+                    jnp.sum(jnp.abs(blk - src)).astype(I32),
+                    sad_ops.satd(src, blk).astype(I32),
+                    jnp.sum(blk).astype(I32)]))
+            else:
+                sads.append(jnp.sum(jnp.abs(blk - src)).astype(I32))
         return jnp.stack(sads)
 
     return jax.vmap(jax.vmap(per_cand, in_axes=(0, 0, None)))(
@@ -112,9 +120,43 @@ def _offset_classes(offsets, pel):
     return classes
 
 
+def _satd_mats(bs_y: int, bs_x: int):
+    """Constant matrices expressing the reference SATD (Satd_C
+    SADFunctions.cpp:713-741 == ops.sad.satd) as dense matmuls — the
+    only way to tile 4x4 Hadamards in a Mosaic kernel (no strided vector
+    slices): t = HB d HB', per-tile abs sums ts = P |t| P', horizontal
+    8x4-partition pairing pair = ts Q, satd = sum(floor(pair / 2))."""
+    h4 = np.array([[1, 1, 1, 1],
+                   [1, -1, 1, -1],
+                   [1, 1, -1, -1],
+                   [1, -1, -1, 1]], np.float32)
+    hb_r = np.kron(np.eye(bs_y // 4, dtype=np.float32), h4)
+    hb_c = np.kron(np.eye(bs_x // 4, dtype=np.float32), h4)
+    p_r = np.kron(np.eye(bs_y // 4, dtype=np.float32),
+                  np.ones((1, 4), np.float32))
+    p_c = np.kron(np.eye(bs_x // 4, dtype=np.float32),
+                  np.ones((1, 4), np.float32))
+    q = np.kron(np.eye(bs_x // 8, dtype=np.float32),
+                np.array([[1.0], [1.0]], np.float32))
+    return hb_r, hb_c, p_r, p_c, q
+
+
+def _kernel_satd(d_f32, mats):
+    hb_r, hb_c, p_r, p_c, q = mats
+    t = jnp.dot(jnp.asarray(hb_r), jnp.dot(d_f32, jnp.asarray(hb_c.T)),
+                preferred_element_type=jnp.float32)
+    a = jnp.abs(t)
+    ts = jnp.dot(jnp.asarray(p_r), jnp.dot(a, jnp.asarray(p_c.T)),
+                 preferred_element_type=jnp.float32)
+    pair = jnp.dot(ts, jnp.asarray(q),
+                   preferred_element_type=jnp.float32)
+    return jnp.sum(jnp.floor(pair * 0.5))
+
+
 def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
                   win_scratch, coord_smem, sems, coord_sem, *,
-                  offsets, bs_y, bs_x, pel, chunk, k, single_sum):
+                  offsets, bs_y, bs_x, pel, chunk, k, single_sum,
+                  stats="sad"):
     logp = pel.bit_length() - 1
     pelm = np.int32(pel - 1)
     min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
@@ -255,6 +297,12 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
                     hi = jnp.sum((v >> 8).astype(jnp.float32))
                     sads.append(lo.astype(jnp.int32)
                                 + (hi.astype(jnp.int32) << 8))
+                if stats == "sad_satd_luma":
+                    d_f32 = (blk - src).astype(jnp.float32)
+                    sads.append(_kernel_satd(
+                        d_f32, _satd_mats(bs_y, bs_x)).astype(jnp.int32))
+                    sads.append(jnp.sum(blk.astype(jnp.float32))
+                                .astype(jnp.int32))
             rows.append(jnp.stack(sads))
             nxt = t + n_buf
             if nxt < n_dma:
@@ -265,9 +313,15 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
 
 def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
                       bs_y: int, bs_x: int, pel: int,
-                      chunk: int = 0, n_buf: int = 8):
-    """Pallas TPU version of probe_sads_xla: [nblk, K, D] int32 SADs."""
+                      chunk: int = 0, n_buf: int = 8,
+                      stats: str = "sad"):
+    """Pallas TPU version of probe_sads_xla: [nblk, K, D] int32 SADs —
+    or [nblk, K, D, 3] (sad, satd, ref-luma) with stats="sad_satd_luma"
+    (8-bit data only; SATD via the in-kernel Hadamard matmuls)."""
     nblk, kk = cand_y.shape
+    n_stats = 3 if stats == "sad_satd_luma" else 1
+    if n_stats == 3 and stack.dtype != jnp.uint8:
+        raise ValueError("probe stats path supports 8-bit stacks only")
     if chunk <= 0:
         # the kernel body unrolls chunk*K (DMA + compute) steps; bound the
         # unroll so Mosaic compile time stays sane, and keep enough DMAs
@@ -297,7 +351,7 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
                   and 255 * bs_y * bs_x < (1 << 24))
     kernel = functools.partial(
         _probe_kernel, offsets=offsets, bs_y=bs_y, bs_x=bs_x, pel=pel,
-        chunk=chunk, k=kk, single_sum=single_sum)
+        chunk=chunk, k=kk, single_sum=single_sum, stats=stats)
 
     z = np.int32(0)
     out = pl.pallas_call(
@@ -312,7 +366,7 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
                          lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, kk, len(offsets)),
+        out_specs=pl.BlockSpec((chunk, kk, len(offsets) * n_stats),
                                lambda g: (g, z, z),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -322,21 +376,25 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA,
         ],
-        out_shape=jax.ShapeDtypeStruct((n, kk, len(offsets)), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, kk, len(offsets) * n_stats),
+                                       jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(cand_y, cand_x, stack, src_blocks)
-    return out[:nblk]
+    out = out[:nblk]
+    if n_stats == 3:
+        return out.reshape(nblk, kk, len(offsets), 3)
+    return out
 
 
 def probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
-               bs_y: int, bs_x: int, pel: int):
+               bs_y: int, bs_x: int, pel: int, stats: str = "sad"):
     """Backend dispatch: Pallas on TPU, vmapped slices elsewhere."""
     if jax.default_backend() == "tpu":
         return probe_sads_pallas(stack, cand_y, cand_x,
                                  src_blocks.astype(I32), offsets,
-                                 bs_y, bs_x, pel)
+                                 bs_y, bs_x, pel, stats=stats)
     return probe_sads_xla(stack, cand_y, cand_x, src_blocks.astype(I32),
-                          offsets, bs_y, bs_x, pel)
+                          offsets, bs_y, bs_x, pel, stats=stats)
 
 
 # ---------------------------------------------------------------------------

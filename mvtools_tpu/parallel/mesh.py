@@ -154,9 +154,11 @@ def clip_map(fn, mesh: Optional[Mesh], radius: int, total: int):
         # check_vma=False: the search engines mix mesh-varying data with
         # replicated constants inside lax.cond/scan; the body is
         # frame-parallel after the halo exchange, so replication tracking
-        # adds no safety here
-        return jax.shard_map(body, mesh=m, in_specs=spec,
-                             out_specs=spec, check_vma=False)(*clip_planes)
+        # adds no safety here.  jit wraps the shard_map: eager shard_map
+        # mis-tracks closure tracers across multiple inner lax.maps
+        return jax.jit(jax.shard_map(
+            body, mesh=m, in_specs=spec, out_specs=spec,
+            check_vma=False))(*clip_planes)
 
     return whole_clip
 

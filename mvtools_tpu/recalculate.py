@@ -143,6 +143,16 @@ def recalculate(src_super: Super, ref_super: Super, old_mv: MVField,
     meta = spec.meta
     old_meta = old_mv.meta if old_mv.meta is not None else meta
     ctx = _level_ctx(src_super, ref_super, spec, 0)
+    from .ops import sad as satd_ops
+    use_field = (engine == "lockstep"
+                 and spec.search in (SearchType.EXHAUSTIVE,
+                                     SearchType.HEX2, SearchType.UMH)
+                 and (spec.dct == 0
+                      or (5 <= spec.dct <= 10 and ctx.bits == 8
+                          and satd_ops.satd_supported(*ctx.blk_size))))
+    if use_field:
+        return _recalculate_field(src_super, ref_super, old_mv, spec, cfg,
+                                  field_shift, ctx, old_meta)
     engine = SearchEngine(ctx, spec.dct, lockstep=(engine == "lockstep"))
     nbx, nby = ctx.nblk
     bsx, bsy = ctx.blk_size
@@ -228,6 +238,115 @@ def recalculate(src_super: Super, ref_super: Super, old_mv: MVField,
     if spec.divide:
         from .analyse import divide_extra
         dx, dy, ds = divide_extra((vx, vy, vs), nbx, nby, spec.divide)
+        levels.insert(0, MVPlaneField(dx.reshape(2 * nby, 2 * nbx),
+                                      dy.reshape(2 * nby, 2 * nbx),
+                                      ds.reshape(2 * nby, 2 * nbx)))
+        out_meta = spec.divided_meta
+    return MVField(tuple(levels), jnp.ones((), I32), out_meta)
+
+
+def _recalculate_field(src_super: Super, ref_super: Super, old_mv: MVField,
+                       spec: AnalyseSpec, cfg: RecalculateConfig,
+                       field_shift, ctx, old_meta) -> MVField:
+    """Field-level Recalculate: every block refines in lockstep through
+    the window-probe kernel (FieldProber) instead of per-block vmapped
+    gathers.  Blocks are independent in Recalculate
+    (pobRecalculateMVs PlaneOfBlocks.cpp:1158-1424 never reads
+    neighbours), so this is semantically the per-block masked engine —
+    candidate order per block follows the masked lockstep enumeration."""
+    from . import field_engine as fe
+    from .ops import sad as sad_ops
+
+    meta = spec.meta
+    nbx, nby = ctx.nblk
+    nblk = nbx * nby
+    bsx, bsy = ctx.blk_size
+    bcx, bcy = ctx.blk_size_c
+    ovx, ovy = ctx.overlap
+    logx, logy = ctx.log_ratio_uv
+    hpad, hpad_c = ctx.hpad
+    vpad, vpad_c = ctx.vpad
+    pw, ph = ctx.padded
+    logp = ctx.log_pel
+
+    pixel_max = (1 << meta.bits_per_sample) - 1
+    thsad_scaled = int(cfg.thsad * pixel_max / 255.0 + 0.5)
+    thsad_scaled = thsad_scaled * (meta.blk_size_x * meta.blk_size_y) // 64
+    thsad = _i64(thsad_scaled)
+    lambda_level = spec.lambda_ // ((1 << logp) * (1 << logp))
+
+    old_finest = old_mv.levels[0]
+    px_a, py_a, ps_a = _interpolate_old_vectors(
+        old_finest, old_meta, meta, cfg.smooth, logp)
+    px_a = px_a.reshape(-1)
+    py_a = py_a.reshape(-1)
+
+    idx = jnp.arange(nblk, dtype=I32)
+    blky_a = idx // nbx
+    blkx_a = idx % nbx
+    x0_a = _i32(hpad) + (bsx - ovx) * blkx_a
+    y0_a = _i32(vpad) + (bsy - ovy) * blky_a
+    xc_a = _i32(hpad_c) + ((bsx - ovx) >> logx) * blkx_a
+    yc_a = _i32(vpad_c) + ((bsy - ovy) >> logy) * blky_a
+    # search bounds (PlaneOfBlocks.cpp:1274-1277 — no scaled padding)
+    dxmax_a = (_i32(pw - bsx) - x0_a) << logp
+    dymax_a = (_i32(ph - bsy) - y0_a) << logp
+    dxmin_a = -(x0_a << logp)
+    dymin_a = -(y0_a << logp)
+    bounds = (dxmin_a, dxmax_a, dymin_a, dymax_a)
+    lam_a = jnp.where(blky_a == 0, _i64(0), _i64(lambda_level))
+
+    def blocks_of(plane, base_y, base_x, bh, bw, step_y, step_x):
+        if step_y == bh and step_x == bw:
+            region = jax.lax.dynamic_slice(
+                plane, (base_y, base_x), (nby * bh, nbx * bw))
+            return (region.reshape(nby, bh, nbx, bw)
+                    .transpose(0, 2, 1, 3).reshape(nblk, bh, bw))
+        ys = base_y + step_y * jnp.arange(nby, dtype=I32)
+        xs = base_x + step_x * jnp.arange(nbx, dtype=I32)
+        yy = jnp.repeat(ys, nbx)
+        xx = jnp.tile(xs, nby)
+        return jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            plane, (y, x), (bh, bw)))(yy, xx)
+
+    src_plane = ctx.src_planes[0].astype(I32)
+    src_blocks = blocks_of(src_plane, vpad, hpad, bsy, bsx,
+                           bsy - ovy, bsx - ovx)
+    if ctx.chroma:
+        src_u_blocks = blocks_of(ctx.src_planes[1].astype(I32), vpad_c,
+                                 hpad_c, bcy, bcx, (bsy - ovy) >> logy,
+                                 (bsx - ovx) >> logx)
+        src_v_blocks = blocks_of(ctx.src_planes[2].astype(I32), vpad_c,
+                                 hpad_c, bcy, bcx, (bsy - ovy) >> logy,
+                                 (bsx - ovx) >> logx)
+    else:
+        src_u_blocks = src_v_blocks = None
+
+    src_luma_a = (jax.vmap(sad_ops.luma)(src_blocks).astype(I64)
+                  if spec.dct in (7, 8, 10)
+                  else (jnp.zeros((nblk,), I64) if spec.dct else None))
+    prober = fe.FieldProber(ctx, src_blocks, src_u_blocks, src_v_blocks,
+                            x0_a, y0_a, xc_a, yc_a, bounds, spec.pnew,
+                            dctmode=spec.dct, src_luma=src_luma_a,
+                            dctweight16=_i32(8))
+
+    cpx = jnp.clip(px_a, dxmin_a, dxmax_a - 1)
+    cpy = jnp.clip(py_a, dymin_a, dymax_a - 1)
+    sad0 = prober.plain_sad(cpx, cpy)
+    st = {"bx": cpx, "by": cpy, "bsad": sad0, "mincost": sad0,
+          "dir": jnp.zeros((nblk,), I32)}
+    bad = sad0 > thsad
+    st = fe.refine(prober, st, spec.search, spec.n_search_param, lam_a,
+                   (cpx, cpy), active=bad)
+
+    levels = [MVPlaneField(st["bx"].reshape(nby, nbx),
+                           st["by"].reshape(nby, nbx),
+                           st["bsad"].reshape(nby, nbx))]
+    out_meta = meta
+    if spec.divide:
+        from .analyse import divide_extra
+        dx, dy, ds = divide_extra((st["bx"], st["by"], st["bsad"]),
+                                  nbx, nby, spec.divide)
         levels.insert(0, MVPlaneField(dx.reshape(2 * nby, 2 * nbx),
                                       dy.reshape(2 * nby, 2 * nbx),
                                       ds.reshape(2 * nby, 2 * nbx)))

@@ -130,3 +130,71 @@ def test_lockstep_matches_exact_sads():
     sl = np.asarray(mv_l.levels[0].sad)
     assert (sl <= se).mean() > 0.9
     assert sl.mean() <= se.mean() * 1.05
+
+
+def test_probe_stats_satd_luma():
+    """The stats probe (sad, satd, ref-luma) matches the cost kernels
+    (on TPU via the in-kernel Hadamard matmuls, on CPU via the XLA
+    fallback)."""
+    from mvtools_tpu.ops import sad as sad_ops
+    rng = np.random.default_rng(9)
+    pel = 2
+    ph, pw = 80, 96
+    stack = rng.integers(0, 256, (pel * pel, ph, pw), np.uint8)
+    padded = probe.pad_stack(jnp.asarray(stack), 8)
+    nblk, bs = 40, 16
+    y0 = rng.integers(8, ph - 40, nblk)
+    x0 = rng.integers(8, pw - 40, nblk)
+    cy = ((y0 + 8) * pel + rng.integers(-3, 4, nblk)).astype(np.int32)
+    cx = ((x0 + 8) * pel + rng.integers(-3, 4, nblk)).astype(np.int32)
+    src = rng.integers(0, 256, (nblk, bs, bs)).astype(np.int32)
+    offsets = ((0, 0), (1, -2))
+    out = probe.probe_sads(padded, jnp.asarray(cy)[:, None],
+                           jnp.asarray(cx)[:, None], jnp.asarray(src),
+                           offsets, bs, bs, pel, stats="sad_satd_luma")
+    assert out.shape == (nblk, 1, 2, 3)
+    pelm = pel - 1
+    logp = 1
+    for b in range(0, nblk, 7):
+        for d, (dx, dy) in enumerate(offsets):
+            ay, ax = cy[b] + dy, cx[b] + dx
+            sub = (ax & pelm) | ((ay & pelm) << logp)
+            ref = np.asarray(padded)[sub, ay >> logp:(ay >> logp) + bs,
+                                     ax >> logp:(ax >> logp) + bs]
+            ref = ref.astype(np.int32)
+            want_sad = int(np.abs(ref - src[b]).sum())
+            want_satd = int(np.asarray(sad_ops.satd(
+                jnp.asarray(src[b]), jnp.asarray(ref))))
+            want_luma = int(ref.sum())
+            got = [int(v) for v in np.asarray(out[b, 0, d])]
+            assert got == [want_sad, want_satd, want_luma], (b, d)
+
+
+def test_lockstep_satd_mode_agrees_with_exact():
+    """dct=5 (pure SATD cost) through the field-level path: vector
+    agreement with the exact engine on translation content must match
+    the dct=0 level (the differences are engine sweep order, not the
+    cost kernel)."""
+    rng = np.random.default_rng(4)
+    w, h = 96, 64
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, levels=2, chroma=False)
+    sspec = scfg.validate(fmt)
+    base = rng.integers(0, 256, (h + 8, w + 8), np.uint8)
+    f0 = jnp.asarray(np.ascontiguousarray(base[:h, :w]))
+    f1 = jnp.asarray(np.ascontiguousarray(base[2:h + 2, 3:w + 3]))
+    s0 = build_super([f0], scfg, fmt)
+    s1 = build_super([f1], scfg, fmt)
+    for dct in (5, 6):
+        aspec = dataclasses.replace(
+            AnalyseConfig(blksize=16, levels=2, truemotion=True,
+                          chroma=False, dct=dct), isb=True).validate(sspec)
+        mv_l = analyse(s1, s0, aspec, engine="lockstep", lockstep_iters=2)
+        mv_e = analyse(s1, s0, aspec, engine="exact")
+        same = ((np.asarray(mv_l.finest.x) == np.asarray(mv_e.finest.x))
+                & (np.asarray(mv_l.finest.y) == np.asarray(mv_e.finest.y)))
+        # identical vectors must carry identical (mixed) costs
+        ls = np.asarray(mv_l.finest.sad)
+        es = np.asarray(mv_e.finest.sad)
+        np.testing.assert_array_equal(ls[same], es[same])
+        assert same.mean() > 0.8, f"dct={dct}: {same.mean()}"
