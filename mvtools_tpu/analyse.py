@@ -1236,18 +1236,19 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
     def blocks_of(plane, base_y, base_x, nb_y, nb_x, bh, bw, step_y,
                   step_x):
         """[nblk, bh, bw] source blocks.  Regular non-overlapping grids
-        reshape for free; overlapped grids need the gather."""
+        reshape for free; overlapped grids use static strided slices
+        (a per-block gather costs ~1.4us per block on the TPU backend —
+        ~100ms per analyse at 1080p overlap 8)."""
         if step_y == bh and step_x == bw:
             region = jax.lax.dynamic_slice(
                 plane, (base_y, base_x), (nb_y * bh, nb_x * bw))
             return (region.reshape(nb_y, bh, nb_x, bw)
                     .transpose(0, 2, 1, 3).reshape(nb_y * nb_x, bh, bw))
-        ys = base_y + step_y * jnp.arange(nb_y, dtype=I32)
-        xs = base_x + step_x * jnp.arange(nb_x, dtype=I32)
-        yy = jnp.repeat(ys, nb_x)
-        xx = jnp.tile(xs, nb_y)
-        return jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-            plane, (y, x), (bh, bw)))(yy, xx)
+        region = jax.lax.dynamic_slice(
+            plane, (base_y, base_x),
+            ((nb_y - 1) * step_y + bh, (nb_x - 1) * step_x + bw))
+        return DenseEvaluator._blocks_view(
+            region, (bw, bh), (bw - step_x, bh - step_y), (nb_x, nb_y))
 
     src_blocks = blocks_of(src_plane, vpad, hpad, nby, nbx, bsy, bsx,
                            bsy - ovy, bsx - ovx)

@@ -123,29 +123,66 @@ class FieldProber:
     def chroma_sads(self, vx, vy, offsets=((0, 0),)):
         """[nblk, D] chroma SADs; candidate chroma coordinates follow the
         negative-bias rounding of pobGetRefBlockU/V
-        (PlaneOfBlocks.cpp:57-77), so each (candidate, offset) pair is an
-        independent probe on the chroma stacks."""
+        (PlaneOfBlocks.cpp:57-77).
+
+        Multi-offset sets share ONE window per candidate per plane: the
+        chroma displacement of a luma offset is one of a small static
+        delta grid (the subsampling floor can land on either of two
+        chroma-pel cells depending on the candidate's parity/sign), so
+        the kernel probes the whole grid and the exact column is
+        selected per (block, offset) afterwards — no per-offset DMAs."""
         if not self.chroma:
             return jnp.zeros((vx.shape[0], len(offsets)), I64)
         logx, logy = self.ctx.log_ratio_uv
         logp = self.logp
-        cand_x = vx[:, None] + jnp.asarray([o[0] for o in offsets],
-                                           I32)[None, :]
-        cand_y = vy[:, None] + jnp.asarray([o[1] for o in offsets],
-                                           I32)[None, :]
-        xbias = jnp.where(cand_x < 0, (1 << logx) - 1, 0)
-        ybias = jnp.where(cand_y < 0, (1 << logy) - 1, 0)
-        cx = (((self.cbase_x + self.padc)[:, None]) << logp) \
-            + ((cand_x + xbias) >> logx)
-        cy = (((self.cbase_y + self.padc)[:, None]) << logp) \
-            + ((cand_y + ybias) >> logy)
-        su = probe_ops.probe_sads(self.stack_u, cy, cx, self.src_u_blocks,
-                                  ((0, 0),), self.bsc[1], self.bsc[0],
-                                  self.pel)[:, :, 0]
-        sv = probe_ops.probe_sads(self.stack_v, cy, cx, self.src_v_blocks,
-                                  ((0, 0),), self.bsc[1], self.bsc[0],
-                                  self.pel)[:, :, 0]
-        return (su + sv).astype(I64)
+        rx, ry = (1 << logx) - 1, (1 << logy) - 1
+
+        def cpos(v, bias_mask, logr):
+            bias = jnp.where(v < 0, bias_mask, 0)
+            return (v + bias) >> logr
+
+        if len(offsets) == 1:
+            dx, dy = offsets[0]
+            cx = (((self.cbase_x + self.padc)) << logp) \
+                + cpos(vx + dx, rx, logx)
+            cy = (((self.cbase_y + self.padc)) << logp) \
+                + cpos(vy + dy, ry, logy)
+            su = probe_ops.probe_sads(
+                self.stack_u, cy[:, None], cx[:, None],
+                self.src_u_blocks, ((0, 0),), self.bsc[1], self.bsc[0],
+                self.pel)[:, :, 0]
+            sv = probe_ops.probe_sads(
+                self.stack_v, cy[:, None], cx[:, None],
+                self.src_v_blocks, ((0, 0),), self.bsc[1], self.bsc[0],
+                self.pel)[:, :, 0]
+            return (su + sv).astype(I64)
+
+        xs = [o[0] for o in offsets]
+        ys = [o[1] for o in offsets]
+        gx = range((min(xs) - rx) >> logx, ((max(xs) + rx) >> logx) + 1)
+        gy = range((min(ys) - ry) >> logy, ((max(ys) + ry) >> logy) + 1)
+        grid = [(ddx, ddy) for ddy in gy for ddx in gx]
+        c0x = ((self.cbase_x + self.padc) << logp) + cpos(vx, rx, logx)
+        c0y = ((self.cbase_y + self.padc) << logp) + cpos(vy, ry, logy)
+        su = probe_ops.probe_sads(
+            self.stack_u, c0y[:, None], c0x[:, None], self.src_u_blocks,
+            tuple(grid), self.bsc[1], self.bsc[0], self.pel)[:, 0, :]
+        sv = probe_ops.probe_sads(
+            self.stack_v, c0y[:, None], c0x[:, None], self.src_v_blocks,
+            tuple(grid), self.bsc[1], self.bsc[0], self.pel)[:, 0, :]
+        tot = (su + sv).astype(I64)                  # [nblk, |grid|]
+        base_dx = cpos(vx, rx, logx)
+        base_dy = cpos(vy, ry, logy)
+        cols = []
+        for (dx, dy) in offsets:
+            ddx = cpos(vx + dx, rx, logx) - base_dx
+            ddy = cpos(vy + dy, ry, logy) - base_dy
+            col = jnp.zeros((vx.shape[0],), I64)
+            for gi, (ax, ay) in enumerate(grid):
+                col = jnp.where((ddx == ax) & (ddy == ay), tot[:, gi],
+                                col)
+            cols.append(col)
+        return jnp.stack(cols, axis=1)
 
     # -- check primitives ---------------------------------------------------
 

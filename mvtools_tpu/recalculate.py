@@ -302,12 +302,12 @@ def _recalculate_field(src_super: Super, ref_super: Super, old_mv: MVField,
                 plane, (base_y, base_x), (nby * bh, nbx * bw))
             return (region.reshape(nby, bh, nbx, bw)
                     .transpose(0, 2, 1, 3).reshape(nblk, bh, bw))
-        ys = base_y + step_y * jnp.arange(nby, dtype=I32)
-        xs = base_x + step_x * jnp.arange(nbx, dtype=I32)
-        yy = jnp.repeat(ys, nbx)
-        xx = jnp.tile(xs, nby)
-        return jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-            plane, (y, x), (bh, bw)))(yy, xx)
+        from .analyse import DenseEvaluator
+        region = jax.lax.dynamic_slice(
+            plane, (base_y, base_x),
+            ((nby - 1) * step_y + bh, (nbx - 1) * step_x + bw))
+        return DenseEvaluator._blocks_view(
+            region, (bw, bh), (bw - step_x, bh - step_y), (nbx, nby))
 
     src_plane = ctx.src_planes[0].astype(I32)
     src_blocks = blocks_of(src_plane, vpad, hpad, bsy, bsx,
