@@ -79,11 +79,11 @@ def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
     blx = (block_pos << log_pel) + mv, chroma shifted arithmetically.
     """
     stack_pel = int(round(plane_stack.shape[0] ** 0.5))
+    from .ops import probe as probe_ops
 
     if jax.default_backend() == "tpu":
         # window-DMA fetch kernel (~0.3us/block vs ~1.4us for the XLA
         # per-block gather)
-        from .ops import probe as probe_ops
         xa = (((block_x.reshape(-1) << log_pel) + mv_x.reshape(-1))
               >> sub_x) + pad_x_pel
         ya = (((block_y.reshape(-1) << log_pel) + mv_y.reshape(-1))
@@ -94,8 +94,11 @@ def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
         xa = jnp.clip(xa, 0, (plane_stack.shape[2] - bsx) << lp)
         ya = jnp.clip(ya, 0, (plane_stack.shape[1] - bsy) << lp)
         stackp = probe_ops.pad_stack(plane_stack, 0)
-        flat = probe_ops.fetch_blocks_pallas(
-            stackp, ya[:, None], xa[:, None], bsy, bsx, stack_pel)[:, 0]
+        flat = probe_ops.spatial_shard(
+            lambda y, x: probe_ops.fetch_blocks_pallas(
+                stackp, y[:, None], x[:, None], bsy, bsx,
+                stack_pel)[:, 0],
+            [ya, xa])
         return flat.reshape(*block_x.shape, bsy, bsx)
 
     def one(bx, by, vx, vy):
@@ -110,8 +113,10 @@ def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
                                     (1, bsy, bsx))
         return blk[0].astype(I32)
 
-    flat = jax.vmap(one)(block_x.reshape(-1), block_y.reshape(-1),
-                         mv_x.reshape(-1), mv_y.reshape(-1))
+    flat = probe_ops.spatial_shard(
+        lambda bx, by, vx, vy: jax.vmap(one)(bx, by, vx, vy),
+        [block_x.reshape(-1), block_y.reshape(-1),
+         mv_x.reshape(-1), mv_y.reshape(-1)])
     return flat.reshape(*block_x.shape, bsy, bsx)
 
 

@@ -87,7 +87,7 @@ def degrain_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
                  dcfg: DegrainConfig = DegrainConfig(),
                  radius: int = 1,
                  engine: str = "exact",
-                 mesh=None) -> List[jnp.ndarray]:
+                 mesh=None, spatial=None) -> List[jnp.ndarray]:
     """Denoise a whole clip with temporal radius N.
 
     clip_planes: [T, H, W] per color plane.  With `mesh` (a 1-D Mesh over
@@ -95,7 +95,9 @@ def degrain_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
     denoises its shard after one ppermute halo exchange of the `radius`
     boundary frames.  Frames near the clip edges mark the missing
     neighbours unusable instead of wrapping (reference default-field
-    semantics).
+    semantics).  `spatial` names a second mesh axis of a 2-D
+    (frames, space) mesh to shard each frame's per-block probe work over
+    (parallel.spatial) — output is bit-identical either way.
     """
     sspec = scfg.validate(fmt)
     aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
@@ -196,7 +198,7 @@ def degrain_clip(clip_planes: Sequence[jnp.ndarray], fmt: VideoFormat,
         return jax.vmap(per_frame)(local_planes, prevs, nexts,
                                    prev_ok, next_ok, g_idx)
 
-    fn = pmesh.clip_map(local_body, mesh, radius, total)
+    fn = pmesh.clip_map(local_body, mesh, radius, total, spatial=spatial)
     out = fn(*clip_planes)
     return list(out)
 

@@ -38,9 +38,74 @@ I32 = jnp.int32
 
 # extra bottom/right padding so tile-aligned window reads (start aligned
 # down to the (8, 128) grid, sizes rounded up to the u8 (32, 128) VMEM
-# tile) stay in bounds
-ALIGN_SLACK_Y = 48
-ALIGN_SLACK_X = 256
+# tile) stay in bounds.  Worst-case overshoot past the last logical
+# window column = 127 (align-down of the start) + 255 (wx rounds up to
+# the next 128 multiple past logical+128), so the X slack must be >=
+# 382; 256 was not enough — boundary blocks of small coarse-level
+# planes issued out-of-bounds DMAs ("TPU device error: kernel fault" on
+# the 1080p levels=0 pipeline).  Y: 7 (align-down) + 39 (rounding) = 46.
+ALIGN_SLACK_Y = 64
+ALIGN_SLACK_X = 384
+
+
+# ---------------------------------------------------------------------------
+# Spatial sharding: inside a `spatial_axis(name)` context (entered from a
+# shard_map body over a mesh axis `name`), every probe/fetch call shards
+# its BLOCK axis across the axis's devices and all_gathers the results.
+# This is the TPU-first answer to the reference's within-frame
+# parallelism (SURVEY §2.2 "spatial sharding"): the pixel planes are
+# small (a 1080p super is a few MB) and stay replicated; what scales is
+# the per-block window-DMA work — the dominant analyse cost — and the
+# exchanged SAD columns are ~100KB per probe over ICI.  Results are
+# bit-identical to the unsharded run by construction.
+
+_SPATIAL_AXIS: list = []
+
+
+class spatial_axis:
+    """Context manager naming the shard_map mesh axis to shard block
+    work over (see parallel.spatial)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        _SPATIAL_AXIS.append(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        _SPATIAL_AXIS.pop()
+        return False
+
+
+def spatial_shard(call, blocked_args):
+    """Run `call(*blocked_args)` on this device's band of the leading
+    (block) axis and all_gather the result; identity outside a
+    spatial_axis context.  blocked_args share the leading axis; the
+    band is edge-padded so every device runs the same static shapes."""
+    if not _SPATIAL_AXIS:
+        return call(*blocked_args)
+    ax = _SPATIAL_AXIS[-1]
+    try:
+        n = jax.lax.axis_size(ax)
+    except (NameError, KeyError):
+        return call(*blocked_args)          # not inside shard_map(ax)
+    if n == 1:
+        return call(*blocked_args)
+    nblk = blocked_args[0].shape[0]
+    band = -(-nblk // n)
+    i = jax.lax.axis_index(ax)
+
+    def cut(a):
+        pad = band * n - nblk
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], 0)
+        return jax.lax.dynamic_slice_in_dim(a, i * band, band, 0)
+
+    out_local = call(*[cut(a) for a in blocked_args])
+    out = jax.lax.all_gather(out_local, ax, axis=0, tiled=True)
+    return out[:nblk]
 
 
 def pad_stack(stack: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -125,38 +190,54 @@ def _satd_mats(bs_y: int, bs_x: int):
     SADFunctions.cpp:713-741 == ops.sad.satd) as dense matmuls — the
     only way to tile 4x4 Hadamards in a Mosaic kernel (no strided vector
     slices): t = HB d HB', per-tile abs sums ts = P |t| P', horizontal
-    8x4-partition pairing pair = ts Q, satd = sum(floor(pair / 2))."""
+    8x4-partition pairing pair = ts Q, satd = sum(floor(pair / 2)).
+
+    A Pallas kernel may not capture array constants (and building them
+    from in-kernel iotas hits unbounded trace recursion), so these are
+    plain numpy arrays passed to pallas_call as VMEM INPUTS; the
+    column-side matrices are pre-transposed so the kernel never
+    transposes."""
     h4 = np.array([[1, 1, 1, 1],
                    [1, -1, 1, -1],
                    [1, 1, -1, -1],
                    [1, -1, -1, 1]], np.float32)
     hb_r = np.kron(np.eye(bs_y // 4, dtype=np.float32), h4)
-    hb_c = np.kron(np.eye(bs_x // 4, dtype=np.float32), h4)
+    hb_c_t = np.kron(np.eye(bs_x // 4, dtype=np.float32), h4.T)
     p_r = np.kron(np.eye(bs_y // 4, dtype=np.float32),
                   np.ones((1, 4), np.float32))
-    p_c = np.kron(np.eye(bs_x // 4, dtype=np.float32),
-                  np.ones((1, 4), np.float32))
+    p_c_t = np.kron(np.eye(bs_x // 4, dtype=np.float32),
+                    np.ones((4, 1), np.float32))
     q = np.kron(np.eye(bs_x // 8, dtype=np.float32),
                 np.array([[1.0], [1.0]], np.float32))
-    return hb_r, hb_c, p_r, p_c, q
+    return hb_r, hb_c_t, p_r, p_c_t, q
 
 
 def _kernel_satd(d_f32, mats):
-    hb_r, hb_c, p_r, p_c, q = mats
-    t = jnp.dot(jnp.asarray(hb_r), jnp.dot(d_f32, jnp.asarray(hb_c.T)),
-                preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: the MXU's default bf16-pass f32 matmul is not
+    # exact at these magnitudes (observed ±20 of ~44k); all values are
+    # small integers, so the exact-f32 pass reproduces integer SATD
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    hb_r, hb_c_t, p_r, p_c_t, q = mats
+    t = dot(hb_r, dot(d_f32, hb_c_t))
     a = jnp.abs(t)
-    ts = jnp.dot(jnp.asarray(p_r), jnp.dot(a, jnp.asarray(p_c.T)),
-                 preferred_element_type=jnp.float32)
-    pair = jnp.dot(ts, jnp.asarray(q),
-                   preferred_element_type=jnp.float32)
+    ts = dot(p_r, dot(a, p_c_t))
+    pair = dot(ts, q)
     return jnp.sum(jnp.floor(pair * 0.5))
 
 
-def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
-                  win_scratch, coord_smem, sems, coord_sem, *,
+def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
                   offsets, bs_y, bs_x, pel, chunk, k, single_sum,
                   stats="sad"):
+    # stats mode appends the 5 SATD matmul constants as VMEM inputs
+    # between src and the output (see probe_sads_pallas)
+    if stats == "sad_satd_luma":
+        satd_mats = tuple(r[...] for r in rest[:5])
+        rest = rest[5:]
+    else:
+        satd_mats = None
+    out_ref, win_scratch, coord_smem, sems, coord_sem = rest
     logp = pel.bit_length() - 1
     pelm = np.int32(pel - 1)
     min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
@@ -297,10 +378,10 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, out_ref,
                     hi = jnp.sum((v >> 8).astype(jnp.float32))
                     sads.append(lo.astype(jnp.int32)
                                 + (hi.astype(jnp.int32) << 8))
-                if stats == "sad_satd_luma":
+                if satd_mats is not None:
                     d_f32 = (blk - src).astype(jnp.float32)
                     sads.append(_kernel_satd(
-                        d_f32, _satd_mats(bs_y, bs_x)).astype(jnp.int32))
+                        d_f32, satd_mats).astype(jnp.int32))
                     sads.append(jnp.sum(blk.astype(jnp.float32))
                                 .astype(jnp.int32))
             rows.append(jnp.stack(sads))
@@ -354,18 +435,27 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
         chunk=chunk, k=kk, single_sum=single_sum, stats=stats)
 
     z = np.int32(0)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),    # cand_y in HBM
+        pl.BlockSpec(memory_space=pl.ANY),    # cand_x in HBM
+        pl.BlockSpec(memory_space=pl.ANY),    # subplane stack in HBM
+        pl.BlockSpec((chunk, src_blocks.shape[1],
+                      src_blocks.shape[2]),
+                     lambda g: (g, z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    extra_inputs = []
+    if n_stats == 3:
+        # the SATD matmul constants ride along as whole-array VMEM
+        # inputs (a Pallas kernel may not capture array constants)
+        for m in _satd_mats(bs_y, bs_x):
+            in_specs.append(pl.BlockSpec(
+                m.shape, lambda g: (z, z), memory_space=pltpu.VMEM))
+            extra_inputs.append(jnp.asarray(m))
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),    # cand_y in HBM
-            pl.BlockSpec(memory_space=pl.ANY),    # cand_x in HBM
-            pl.BlockSpec(memory_space=pl.ANY),    # subplane stack in HBM
-            pl.BlockSpec((chunk, src_blocks.shape[1],
-                          src_blocks.shape[2]),
-                         lambda g: (g, z, z),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, kk, len(offsets) * n_stats),
                                lambda g: (g, z, z),
                                memory_space=pltpu.VMEM),
@@ -379,7 +469,7 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
         out_shape=jax.ShapeDtypeStruct((n, kk, len(offsets) * n_stats),
                                        jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(cand_y, cand_x, stack, src_blocks)
+    )(cand_y, cand_x, stack, src_blocks, *extra_inputs)
     out = out[:nblk]
     if n_stats == 3:
         return out.reshape(nblk, kk, len(offsets), 3)
@@ -388,13 +478,15 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
 
 def probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
                bs_y: int, bs_x: int, pel: int, stats: str = "sad"):
-    """Backend dispatch: Pallas on TPU, vmapped slices elsewhere."""
-    if jax.default_backend() == "tpu":
-        return probe_sads_pallas(stack, cand_y, cand_x,
-                                 src_blocks.astype(I32), offsets,
-                                 bs_y, bs_x, pel, stats=stats)
-    return probe_sads_xla(stack, cand_y, cand_x, src_blocks.astype(I32),
-                          offsets, bs_y, bs_x, pel, stats=stats)
+    """Backend dispatch: Pallas on TPU, vmapped slices elsewhere.
+    Inside a `spatial_axis` context the block axis is sharded over the
+    mesh axis and the SAD columns all_gathered."""
+    impl = (probe_sads_pallas if jax.default_backend() == "tpu"
+            else probe_sads_xla)
+    return spatial_shard(
+        lambda cy, cx, sb: impl(stack, cy, cx, sb.astype(I32), offsets,
+                                bs_y, bs_x, pel, stats=stats),
+        [cand_y, cand_x, src_blocks])
 
 
 # ---------------------------------------------------------------------------

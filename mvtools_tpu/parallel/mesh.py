@@ -128,7 +128,8 @@ def neighbour_views(padded: jnp.ndarray, t_local: int, radius: int):
     return prevs, nexts
 
 
-def clip_map(fn, mesh: Optional[Mesh], radius: int, total: int):
+def clip_map(fn, mesh: Optional[Mesh], radius: int, total: int,
+             spatial: Optional[str] = None):
     """Wrap `fn(cur, prevs, nexts, prev_ok, next_ok, g_idx)` — all with a
     leading local-frame axis (g_idx = global frame indices, [T_local]) —
     into a whole-clip function of [T, ...] plane stacks.
@@ -137,6 +138,10 @@ def clip_map(fn, mesh: Optional[Mesh], radius: int, total: int):
     `halo_exchange` (ppermute over ICI), then the body runs
     frame-parallel with no further communication.  Without a mesh: the
     same code on a single implicit device.
+
+    spatial: name of a SECOND mesh axis (2-D mesh (frames, space)) to
+    additionally shard each frame's per-block probe work over — see
+    parallel.spatial; clip planes are replicated over that axis.
     """
     def whole_clip(*clip_planes):
         def body(*local_planes):
@@ -146,6 +151,11 @@ def clip_map(fn, mesh: Optional[Mesh], radius: int, total: int):
             prevs = [tuple(v[0][k] for v in views) for k in range(radius)]
             nexts = [tuple(v[1][k] for v in views) for k in range(radius)]
             prev_ok, next_ok = edge_validity(tl, total, radius)
+            if spatial is not None:
+                from ..ops import probe as probe_ops
+                with probe_ops.spatial_axis(spatial):
+                    return fn(tuple(local_planes), prevs, nexts,
+                              prev_ok, next_ok, local_frame_index(tl))
             return fn(tuple(local_planes), prevs, nexts, prev_ok, next_ok,
                       local_frame_index(tl))
 

@@ -158,6 +158,70 @@ def test_degrain_clip_edge_uses_default_field_semantics():
     np.testing.assert_array_equal(out[3], np.asarray(wantT[0]))
 
 
+def test_analyse_spatial_mesh_invariance():
+    """parallel.spatial: probe work sharded over the space axis must be
+    bit-identical to the unsharded lockstep analyse for every mesh
+    size (the SAD columns are all_gathered, everything else replicated)."""
+    import dataclasses
+    from mvtools_tpu import analyse, build_super
+    from mvtools_tpu.parallel import spatial as pspatial
+
+    rng = np.random.default_rng(7)
+    W, H = 256, 192
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, chroma=False, levels=2)
+    sspec = scfg.validate(fmt)
+    aspec = dataclasses.replace(
+        AnalyseConfig(blksize=16, chroma=False, levels=2, overlap=8),
+        isb=True).validate(sspec)
+    base = rng.integers(0, 256, (H + 16, W + 16)).astype(np.uint8)
+    f0 = jnp.asarray(np.ascontiguousarray(base[:H, :W]))
+    f1 = jnp.asarray(np.ascontiguousarray(base[3:H + 3, 5:W + 5]))
+    sa = build_super([f0], sspec)
+    sb = build_super([f1], sspec)
+
+    ref = analyse(sa, sb, aspec, engine="lockstep")
+    for n in (1, 2, 4, 8):
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:n]), (pspatial.SPACE_AXIS,))
+        got = pspatial.analyse_spatial(sa, sb, aspec, mesh,
+                                       engine="lockstep")
+        for lvl, (gl, rl) in enumerate(zip(got.levels, ref.levels)):
+            np.testing.assert_array_equal(
+                np.asarray(gl.x), np.asarray(rl.x),
+                err_msg=f"mesh {n} level {lvl} vx")
+            np.testing.assert_array_equal(
+                np.asarray(gl.y), np.asarray(rl.y),
+                err_msg=f"mesh {n} level {lvl} vy")
+            np.testing.assert_array_equal(
+                np.asarray(gl.sad), np.asarray(rl.sad),
+                err_msg=f"mesh {n} level {lvl} sad")
+
+
+def test_degrain_clip_2d_mesh_frames_by_space():
+    """2-D (frames, space) mesh: frame halos over one axis, per-frame
+    probe work sharded over the other — equals the unsharded clip."""
+    rng = np.random.default_rng(8)
+    T, H, W = 4, 96, 128
+    clip = _noisy_clip(rng, T, H, W, motion=True)
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, chroma=False, levels=1)
+    acfg = AnalyseConfig(blksize=16, chroma=False, levels=1)
+    dcfg = DegrainConfig(thsad=400)
+
+    ref = np.asarray(degrain_clip([jnp.asarray(clip)], fmt, scfg, acfg,
+                                  dcfg, radius=1, engine="lockstep")[0])
+    from mvtools_tpu.parallel import spatial as pspatial
+    mesh2d = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4),
+        (pmesh.FRAME_AXIS, pspatial.SPACE_AXIS))
+    got = np.asarray(degrain_clip(
+        [jnp.asarray(clip)], fmt, scfg, acfg, dcfg, radius=1,
+        engine="lockstep", mesh=mesh2d,
+        spatial=pspatial.SPACE_AXIS)[0])
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_field_shift_truth_table():
     """MVAnalyse.c:174-178 / MVCompensate.c:188-225 semantics."""
     # no shift when progressive, pel 1, or even delta
