@@ -38,12 +38,13 @@ I32 = jnp.int32
 
 # extra bottom/right padding so tile-aligned window reads (start aligned
 # down to the (8, 128) grid, sizes rounded up to the u8 (32, 128) VMEM
-# tile) stay in bounds.  Worst-case overshoot past the last logical
-# window column = 127 (align-down of the start) + 255 (wx rounds up to
-# the next 128 multiple past logical+128), so the X slack must be >=
-# 382; 256 was not enough — boundary blocks of small coarse-level
-# planes issued out-of-bounds DMAs ("TPU device error: kernel fault" on
-# the 1080p levels=0 pipeline).  Y: 7 (align-down) + 39 (rounding) = 46.
+# tile) stay in bounds.  The DMA end is (base & ~(tile-1)) + rounded
+# size <= base + rounded size, so the worst overshoot past the last
+# logical window column is the tile rounding alone (<= 255 X, <= 39 Y);
+# tests/test_dma_audit.py re-derives the exact requirement for every
+# probe call-site of the benched configs (max seen: 232 X, 28 Y) and
+# fails if a new offset set breaks containment.  The constants carry
+# extra headroom because padding is cheap.
 ALIGN_SLACK_Y = 64
 ALIGN_SLACK_X = 384
 
