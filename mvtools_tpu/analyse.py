@@ -123,6 +123,31 @@ def mix_satd_cost(dctmode: int, s, satd_v, src_luma, ref_luma,
     raise ValueError(f"dctmode {dctmode}")
 
 
+def mix_dct_cost(dctmode: int, s, dct_src, dct_ref, src_luma, ref_luma,
+                 dctweight16, bsx: int):
+    """Luma cost for DCT modes 1-4 from requantised DCT blocks
+    (pobLumaSAD PlaneOfBlocks.cpp:123-163) — shared by the vmapped
+    evaluator, the dense evaluator, and the field-level lockstep path.
+    dct_src/dct_ref: [..., bh, bw] int32; s: plain SAD (unused by
+    mode 1)."""
+    ds = jnp.sum(jnp.abs(dct_src - dct_ref), axis=(-2, -1)).astype(I64)
+    dc = jnp.abs(dct_src[..., 0, 0] - dct_ref[..., 0, 0]).astype(I64)
+    if dctmode == 1:
+        return (ds + dc * 3) * bsx // 2
+    if dctmode == 2:
+        dctsad = (ds + dc * 3) * bsx // 2
+        w16 = _i64(dctweight16)
+        mixed = (s * (16 - w16) + dctsad * w16) // 16
+        return jnp.where(w16 > 0, mixed, s)
+    if dctmode in (3, 4):
+        dctsad = ds * bsx // 2
+        adapt = jnp.abs(src_luma - ref_luma) > ((src_luma + ref_luma) >> 5)
+        mixed = (s // 2 + dctsad // 2 if dctmode == 3
+                 else s // 4 + dctsad // 2 + dctsad // 4)
+        return jnp.where(adapt, mixed, s)
+    raise ValueError(f"dctmode {dctmode}")
+
+
 def _make_evaluator(ctx: LevelCtx, dctmode: int):
     """Build luma_sad(bc, vxs, vys) and chroma_sad(bc, vxs, vys) closures for
     a batch of candidate vectors [K] (pobLumaSAD PlaneOfBlocks.cpp:117-203,
@@ -159,30 +184,15 @@ def _make_evaluator(ctx: LevelCtx, dctmode: int):
         refs = g_luma(bc, vxs, vys)        # [K, bsy, bsx]
         if dctmode == 0:
             return sad_ops.sad(bc.src, refs).astype(I64)
-        if dctmode == 1:
+        if 1 <= dctmode <= 4:
             dct_ref = dct_ops.dct_block(refs, ctx.bits)
-            s = sad_ops.sad(bc.dct_src, dct_ref).astype(I64)
-            dc = jnp.abs(bc.dct_src[0, 0] - dct_ref[:, 0, 0]).astype(I64)
-            return (s + dc * 3) * bsx // 2
-        if dctmode == 2:
-            s = sad_ops.sad(bc.src, refs).astype(I64)
-            dct_ref = dct_ops.dct_block(refs, ctx.bits)
-            ds = sad_ops.sad(bc.dct_src, dct_ref).astype(I64)
-            dc = jnp.abs(bc.dct_src[0, 0] - dct_ref[:, 0, 0]).astype(I64)
-            dctsad = (ds + dc * 3) * bsx // 2
-            w16 = _i64(bc.dctweight16)
-            mixed = (s * (16 - w16) + dctsad * w16) // 16
-            return jnp.where(w16 > 0, mixed, s)
-        if dctmode in (3, 4):
-            ref_luma = sad_ops.luma(refs).astype(I64)
-            s = sad_ops.sad(bc.src, refs).astype(I64)
-            dct_ref = dct_ops.dct_block(refs, ctx.bits)
-            dctsad = sad_ops.sad(bc.dct_src, dct_ref).astype(I64) * bsx // 2
-            src_luma = _i64(bc.src_luma)
-            adapt = jnp.abs(src_luma - ref_luma) > ((src_luma + ref_luma) >> 5)
-            mixed = (s // 2 + dctsad // 2 if dctmode == 3
-                     else s // 4 + dctsad // 2 + dctsad // 4)
-            return jnp.where(adapt, mixed, s)
+            s = (None if dctmode == 1
+                 else sad_ops.sad(bc.src, refs).astype(I64))
+            ref_luma = (sad_ops.luma(refs).astype(I64)
+                        if dctmode in (3, 4) else None)
+            src_luma = _i64(bc.src_luma) if dctmode in (3, 4) else None
+            return mix_dct_cost(dctmode, s, bc.dct_src, dct_ref,
+                                src_luma, ref_luma, bc.dctweight16, bsx)
         if 5 <= dctmode <= 10:
             s = sad_ops.sad(bc.src, refs)
             satd_v = sad_ops.satd(bc.src, refs)
@@ -982,12 +992,14 @@ class DenseEvaluator:
         return cols.reshape(nby * nbx, bsy, bsx)
 
     def __init__(self, ctx: LevelCtx, x0_a, y0_a, xc_a, yc_a, pad: int,
-                 dctmode: int = 0, src_luma=None, dctweight16=None):
+                 dctmode: int = 0, src_luma=None, dctweight16=None,
+                 dct_src=None):
         self.ctx = ctx
         self.pad = pad
         self.dctmode = dctmode
         self.src_luma = None if src_luma is None else src_luma.astype(I64)
         self.dctweight16 = dctweight16
+        self.dct_src = dct_src          # [nblk, bs, bs] i32 (modes 1-4)
         bsx, bsy = ctx.blk_size
         bcx, bcy = ctx.blk_size_c
         ovx, ovy = ctx.overlap
@@ -1066,13 +1078,22 @@ class DenseEvaluator:
                              self.rel_y, self.rel_x)
         if not self.dctmode:
             return s
-        # SATD modes: transform per block (no sliding decomposition) via
-        # the static block view; ref luma from box sums
+        # dct/SATD modes: transform per block (no sliding decomposition)
+        # via the static block view; ref luma from box sums
         if not hasattr(self, "_src_view"):
             self._src_view = self._blocks_view(
                 self.src_region, ctx.blk_size, ctx.overlap, ctx.nblk)
         ref_view = self._blocks_view(region, ctx.blk_size, ctx.overlap,
                                      ctx.nblk)
+        if 1 <= self.dctmode <= 4:
+            dct_ref = dct_ops.dct_block(ref_view, ctx.bits)
+            ref_luma = (self._block_sums(region, ctx.blk_size,
+                                         ctx.overlap, ctx.nblk,
+                                         self.rel_y, self.rel_x)
+                        if self.dctmode in (3, 4) else None)
+            return mix_dct_cost(self.dctmode, s, self.dct_src, dct_ref,
+                                self.src_luma, ref_luma,
+                                self.dctweight16, ctx.blk_size[0])
         satd_v = sad_ops.satd(self._src_view, ref_view).astype(I64)
         ref_luma = self._block_sums(region, ctx.blk_size, ctx.overlap,
                                     ctx.nblk, self.rel_y, self.rel_x)
@@ -1312,21 +1333,23 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
     pred_in_y = jnp.clip(vectors_in[1], dymin_a, dymax_a - 1)
     pred_in_s = vectors_in[2]
 
-    # ---- fast path: field-level engine (dctmode 0 and SATD modes) --------
+    # ---- fast path: field-level engine (dct 0, DCT 1-4, SATD 5-10) -------
     field_dct_ok = (5 <= dctmode <= 10 and ctx.bits == 8
                     and sad_ops.satd_supported(bsx, bsy))
-    if dctmode == 0 or field_dct_ok:
+    field_dct14 = 1 <= dctmode <= 4
+    if dctmode == 0 or field_dct_ok or field_dct14:
         from . import field_engine as fe
         bounds = (dxmin_a, dxmax_a, dymin_a, dymax_a)
         src_luma_a = (src_luma_blocks.reshape(-1)
-                      if (field_dct_ok and dctmode in (7, 8, 10))
-                      else (jnp.zeros((nblk,), I64) if field_dct_ok
+                      if dctmode in (3, 4, 7, 8, 10)
+                      else (jnp.zeros((nblk,), I64) if dctmode
                             else None))
         prober = fe.FieldProber(ctx, src_blocks, src_u_blocks,
                                 src_v_blocks, x0_a, y0_a, xc_a, yc_a,
                                 bounds, pnew, dctmode=dctmode,
                                 src_luma=src_luma_a,
-                                dctweight16=dctweight16)
+                                dctweight16=dctweight16,
+                                dct_src=dct_src_blocks)
         if level_params["badrange"] > 0:
             max_off = level_params["badrange"] * ctx.pel + 4
         elif level_params["badrange"] < 0:
@@ -1336,7 +1359,8 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
         dense = DenseEvaluator(ctx, x0_a, y0_a, xc_a, yc_a,
                                (max_off >> ctx.log_pel) + 2,
                                dctmode=dctmode, src_luma=src_luma_a,
-                               dctweight16=dctweight16)
+                               dctweight16=dctweight16,
+                               dct_src=dct_src_blocks)
         vx_a, vy_a, vs_a = vectors_in
         for it in range(iters):
             p0, p1, p2, p3 = predictors_from(vx_a, vy_a, vs_a)

@@ -26,6 +26,7 @@ per-block; `analyse(engine="exact")` remains the parity oracle.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -48,6 +49,12 @@ def _i64(x):
     return jnp.asarray(x, I64)
 
 
+def _sat_add(a, b):
+    """i64 sum of two i32 SAD maps — i32 addition would wrap when both
+    carry the tiled probe's INVALID_SAD sentinel."""
+    return a.astype(I64) + b.astype(I64)
+
+
 class FieldProber:
     """Per-block probe evaluation: windows + static offsets.
 
@@ -60,7 +67,8 @@ class FieldProber:
 
     def __init__(self, ctx, src_blocks, src_u_blocks, src_v_blocks,
                  x0_a, y0_a, xc_a, yc_a, bounds, pnew,
-                 dctmode: int = 0, src_luma=None, dctweight16=None):
+                 dctmode: int = 0, src_luma=None, dctweight16=None,
+                 dct_src=None):
         self.ctx = ctx
         self.pel = ctx.pel
         self.logp = ctx.log_pel
@@ -69,15 +77,24 @@ class FieldProber:
         self.chroma = ctx.chroma
         self.bounds = bounds
         self.pnew = pnew
-        self.dctmode = dctmode          # 0 or SATD modes 5-10
+        self.dctmode = dctmode          # 0, DCT modes 1-4, SATD 5-10
         self.src_luma = (None if src_luma is None
                          else src_luma.astype(I64))
         self.dctweight16 = dctweight16
+        self.dct_src = dct_src          # [nblk, bs, bs] i32 (modes 1-4)
+        self.bits = ctx.bits
         self.src_blocks = src_blocks.astype(I32)
         self.stack = probe_ops.pad_stack(ctx.ref_stacks[0], self.PAD)
         # block origin in padded pel coordinates
         self.base_y = (y0_a + self.PAD) << self.logp
         self.base_x = (x0_a + self.PAD) << self.logp
+        # tiled probes: one window DMA per tile of consecutive blocks
+        # (probe_sads_tiled), keyed off the block grid's row length
+        self.tiled = os.environ.get("MVT_TILED", "1") != "0"
+        self.nbx = ctx.nblk[0]
+        self.pitch_x = ctx.blk_size[0] - ctx.overlap[0]
+        logx = ctx.log_ratio_uv[0]
+        self.pitch_xc = max(1, self.pitch_x >> logx)
         if ctx.chroma:
             logx, logy = ctx.log_ratio_uv
             padc = max(self.PAD >> logx, self.PAD >> logy, 4)
@@ -90,6 +107,55 @@ class FieldProber:
             self.cbase_x = xc_a
 
     # -- raw SAD evaluation -------------------------------------------------
+
+    def _probe(self, stack, cy, cx, src, offsets, bs_y, bs_x, pitch,
+               stats="sad"):
+        """probe_sads with the tiled window path when enabled; tiled
+        invalid candidates surface as INVALID_SAD and lose every cost
+        comparison (the dense zero trial guarantees a real bound)."""
+        if self.tiled:
+            return probe_ops.probe_sads_tiled(
+                stack, cy, cx, src, offsets, bs_y, bs_x, self.pel,
+                row_len=self.nbx, pitch_x=pitch, stats=stats)
+        return probe_ops.probe_sads(stack, cy, cx, src, offsets, bs_y,
+                                    bs_x, self.pel, stats=stats)
+
+    def _fetch_ref_blocks(self, cy, cx):
+        """[nblk, K, bs, bs] i32 ref blocks at padded pel positions
+        (window-DMA fetch kernel on TPU, vmapped slices elsewhere)."""
+        bs_y, bs_x = self.bs[1], self.bs[0]
+        if jax.default_backend() == "tpu":
+            return probe_ops.fetch_blocks_pallas(self.stack, cy, cx,
+                                                 bs_y, bs_x, self.pel)
+        pelm = self.pel - 1
+        logp = self.logp
+
+        def one(y, x):
+            sub = (x & pelm) | ((y & pelm) << logp)
+            return jax.lax.dynamic_slice(
+                self.stack, (sub, y >> logp, x >> logp),
+                (1, bs_y, bs_x))[0].astype(I32)
+
+        return jax.vmap(jax.vmap(one))(cy, cx)
+
+    def _dct_cost(self, cy, cx):
+        """[nblk, K] DCT modes 1-4 luma costs at padded pel coords: the
+        field-level replacement for the vmapped per-block fallback —
+        fetch the candidate blocks (one window DMA each), DCT them as
+        batched MXU matmuls, and mix per pobLumaSAD."""
+        from .analyse import mix_dct_cost
+        from .ops import dct as dct_ops
+        refs = self._fetch_ref_blocks(cy, cx)       # [nblk, K, bs, bs]
+        dct_ref = dct_ops.dct_block(refs, self.bits)
+        s = (None if self.dctmode == 1
+             else jnp.sum(jnp.abs(refs - self.src_blocks[:, None]),
+                          axis=(-2, -1)).astype(I64))
+        ref_luma = (jnp.sum(refs, axis=(-2, -1)).astype(I64)
+                    if self.dctmode in (3, 4) else None)
+        sl = (self.src_luma[:, None] if self.dctmode in (3, 4) else None)
+        return mix_dct_cost(self.dctmode, s, self.dct_src[:, None],
+                            dct_ref, sl, ref_luma, self.dctweight16,
+                            self.bs[0])
 
     def _mix(self, stats3):
         """[..., 3] (sad, satd, ref-luma) -> mixed luma cost per
@@ -109,15 +175,18 @@ class FieldProber:
         pel offsets (plain SAD, or the SATD-mixed cost for dct 5-10)."""
         cy = (self.base_y + vy)[:, None]
         cx = (self.base_x + vx)[:, None]
+        if 1 <= self.dctmode <= 4:
+            offy = jnp.asarray([o[1] for o in offsets], I32)
+            offx = jnp.asarray([o[0] for o in offsets], I32)
+            return self._dct_cost(cy + offy[None], cx + offx[None])
         if self.dctmode:
-            out = probe_ops.probe_sads(
+            out = self._probe(
                 self.stack, cy, cx, self.src_blocks, offsets,
-                self.bs[1], self.bs[0], self.pel,
+                self.bs[1], self.bs[0], self.pitch_x,
                 stats="sad_satd_luma")[:, 0]        # [nblk, D, 3]
             return self._mix(out)
-        out = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
-                                   offsets, self.bs[1], self.bs[0],
-                                   self.pel)
+        out = self._probe(self.stack, cy, cx, self.src_blocks,
+                          offsets, self.bs[1], self.bs[0], self.pitch_x)
         return out[:, 0, :].astype(I64)
 
     def chroma_sads(self, vx, vy, offsets=((0, 0),)):
@@ -147,15 +216,15 @@ class FieldProber:
                 + cpos(vx + dx, rx, logx)
             cy = (((self.cbase_y + self.padc)) << logp) \
                 + cpos(vy + dy, ry, logy)
-            su = probe_ops.probe_sads(
+            su = self._probe(
                 self.stack_u, cy[:, None], cx[:, None],
                 self.src_u_blocks, ((0, 0),), self.bsc[1], self.bsc[0],
-                self.pel)[:, :, 0]
-            sv = probe_ops.probe_sads(
+                self.pitch_xc)[:, :, 0]
+            sv = self._probe(
                 self.stack_v, cy[:, None], cx[:, None],
                 self.src_v_blocks, ((0, 0),), self.bsc[1], self.bsc[0],
-                self.pel)[:, :, 0]
-            return (su + sv).astype(I64)
+                self.pitch_xc)[:, :, 0]
+            return _sat_add(su, sv)
 
         xs = [o[0] for o in offsets]
         ys = [o[1] for o in offsets]
@@ -164,13 +233,13 @@ class FieldProber:
         grid = [(ddx, ddy) for ddy in gy for ddx in gx]
         c0x = ((self.cbase_x + self.padc) << logp) + cpos(vx, rx, logx)
         c0y = ((self.cbase_y + self.padc) << logp) + cpos(vy, ry, logy)
-        su = probe_ops.probe_sads(
+        su = self._probe(
             self.stack_u, c0y[:, None], c0x[:, None], self.src_u_blocks,
-            tuple(grid), self.bsc[1], self.bsc[0], self.pel)[:, 0, :]
-        sv = probe_ops.probe_sads(
+            tuple(grid), self.bsc[1], self.bsc[0], self.pitch_xc)[:, 0, :]
+        sv = self._probe(
             self.stack_v, c0y[:, None], c0x[:, None], self.src_v_blocks,
-            tuple(grid), self.bsc[1], self.bsc[0], self.pel)[:, 0, :]
-        tot = (su + sv).astype(I64)                  # [nblk, |grid|]
+            tuple(grid), self.bsc[1], self.bsc[0], self.pitch_xc)[:, 0, :]
+        tot = _sat_add(su, sv)                       # [nblk, |grid|]
         base_dx = cpos(vx, rx, logx)
         base_dy = cpos(vy, ry, logy)
         cols = []
@@ -241,17 +310,19 @@ class FieldProber:
         batched)."""
         cy = self.base_y[:, None] + jnp.stack(vys, axis=1)
         cx = self.base_x[:, None] + jnp.stack(vxs, axis=1)
-        if self.dctmode:
-            out = probe_ops.probe_sads(
+        if 1 <= self.dctmode <= 4:
+            ls = self._dct_cost(cy, cx)
+        elif self.dctmode:
+            out = self._probe(
                 self.stack, cy, cx, self.src_blocks, ((0, 0),),
-                self.bs[1], self.bs[0], self.pel,
+                self.bs[1], self.bs[0], self.pitch_x,
                 stats="sad_satd_luma")[:, :, 0]     # [nblk, K, 3]
             ls = self._mix(out)
         else:
-            ls = probe_ops.probe_sads(
+            ls = self._probe(
                 self.stack, cy, cx, self.src_blocks, ((0, 0),),
                 self.bs[1], self.bs[0],
-                self.pel)[:, :, 0].astype(I64)
+                self.pitch_x)[:, :, 0].astype(I64)
         if not self.chroma:
             return ls
         k = len(vxs)
@@ -266,13 +337,13 @@ class FieldProber:
                + ((vx_flat + xbias) >> logx)).reshape(n, k)
         cyc = ((jnp.repeat(self.cbase_y + self.padc, k) << logp)
                + ((vy_flat + ybias) >> logy)).reshape(n, k)
-        su = probe_ops.probe_sads(self.stack_u, cyc, cxc,
-                                  self.src_u_blocks, ((0, 0),),
-                                  self.bsc[1], self.bsc[0], self.pel)
-        sv = probe_ops.probe_sads(self.stack_v, cyc, cxc,
-                                  self.src_v_blocks, ((0, 0),),
-                                  self.bsc[1], self.bsc[0], self.pel)
-        return ls + (su[:, :, 0] + sv[:, :, 0]).astype(I64)
+        su = self._probe(self.stack_u, cyc, cxc,
+                         self.src_u_blocks, ((0, 0),),
+                         self.bsc[1], self.bsc[0], self.pitch_xc)
+        sv = self._probe(self.stack_v, cyc, cxc,
+                         self.src_v_blocks, ((0, 0),),
+                         self.bsc[1], self.bsc[0], self.pitch_xc)
+        return ls + _sat_add(su[:, :, 0], sv[:, :, 0])
 
     def sad_table(self, cx0, cy0, offsets):
         """(luma, chroma) SAD tables [nblk, D] for static pel `offsets`
@@ -280,9 +351,9 @@ class FieldProber:
         (the whole offset set shares a window)."""
         cy = (self.base_y + cy0)[:, None]
         cx = (self.base_x + cx0)[:, None]
-        ls = probe_ops.probe_sads(self.stack, cy, cx, self.src_blocks,
-                                  offsets, self.bs[1], self.bs[0],
-                                  self.pel)[:, 0, :].astype(I64)
+        ls = self._probe(self.stack, cy, cx, self.src_blocks,
+                         offsets, self.bs[1], self.bs[0],
+                         self.pitch_x)[:, 0, :].astype(I64)
         cs = self.chroma_sads(cx0, cy0, offsets)
         return ls, cs
 

@@ -228,6 +228,72 @@ def _kernel_satd(d_f32, mats):
     return jnp.sum(jnp.floor(pair * 0.5))
 
 
+def _eval_offsets(planes, src, offsets, classes, bs_y, bs_x, pel,
+                  min_dx, min_dy, par_y, par_x, single_sum, satd_mats):
+    """Per-offset costs from rolled class planes (shared by the
+    per-block and tiled kernels).
+
+    planes[ci] is the candidate's window for parity class ci with its
+    origin at the candidate's window base wb = (c + min_d) >> logp;
+    par_y/par_x are the candidate's pel parities.  Returns the flat
+    stat list (offset-major; 1 or 3 entries per offset)."""
+    logp = pel.bit_length() - 1
+    sads = []
+
+    def case_geometry(qy, qx, dy, dx):
+        """Static window-relative (oy, ox) when the candidate parity is
+        (qy, qx) — every dynamic index reduces to one of pel^2 static
+        cases (Mosaic has no unaligned dynamic vector slices); the
+        subplane is the offset's parity class, independent of (qy, qx)."""
+        oy = ((qy + dy) >> logp) - ((qy + min_dy) >> logp)
+        ox = ((qx + dx) >> logp) - ((qx + min_dx) >> logp)
+        return oy, ox
+
+    for (dx, dy) in offsets:
+        ci = classes.index((dy % pel, dx % pel))
+        # group the pel^2 parity cases by their (oy, ox) window
+        # geometry — most offsets collapse to 1-2 distinct slices —
+        # select the block VECTOR by parity, then do one SAD
+        geoms = {}
+        for qy in range(pel):
+            for qx in range(pel):
+                oy, ox = case_geometry(qy, qx, dy, dx)
+                geoms.setdefault((oy, ox), []).append((qy, qx))
+        blk = None
+        for (oy, ox), cases_list in geoms.items():
+            cand = jax.lax.slice(planes[ci], (oy, ox),
+                                 (oy + bs_y, ox + bs_x))
+            if blk is None:
+                blk = cand
+            else:
+                sel = None
+                for (qy, qx) in cases_list:
+                    c = ((par_y == np.int32(qy))
+                         & (par_x == np.int32(qx)))
+                    sel = c if sel is None else (sel | c)
+                blk = jnp.where(sel, cand, blk)
+        # i64-free SAD (jnp.sum(int32) accumulates in i64 under
+        # x64, which Mosaic rejects): 8-bit data sums exactly in
+        # one f32 pass (max 255*blkarea < 2^24); 16-bit needs the
+        # hi/lo split
+        v = jnp.abs(blk - src)
+        if single_sum:
+            sads.append(jnp.sum(v.astype(jnp.float32))
+                        .astype(jnp.int32))
+        else:
+            lo = jnp.sum((v & 255).astype(jnp.float32))
+            hi = jnp.sum((v >> 8).astype(jnp.float32))
+            sads.append(lo.astype(jnp.int32)
+                        + (hi.astype(jnp.int32) << 8))
+        if satd_mats is not None:
+            d_f32 = (blk - src).astype(jnp.float32)
+            sads.append(_kernel_satd(
+                d_f32, satd_mats).astype(jnp.int32))
+            sads.append(jnp.sum(blk.astype(jnp.float32))
+                        .astype(jnp.int32))
+    return sads
+
+
 def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
                   offsets, bs_y, bs_x, pel, chunk, k, single_sum,
                   stats="sad"):
@@ -308,15 +374,6 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
     for t in range(min(n_buf, n_dma)):
         start_dmas(t, t)
 
-    def case_geometry(qy, qx, dy, dx):
-        """Static window-relative (oy, ox) when the candidate parity is
-        (qy, qx) — every dynamic index reduces to one of pel^2 static
-        cases (Mosaic has no unaligned dynamic vector slices); the
-        subplane is the offset's parity class, independent of (qy, qx)."""
-        oy = ((qy + dy) >> logp) - ((qy + min_dy) >> logp)
-        ox = ((qx + dx) >> logp) - ((qx + min_dx) >> logp)
-        return oy, ox
-
     for b in range(chunk):
         src = src_ref[b].astype(jnp.int32)
         rows = []
@@ -342,49 +399,9 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
                 planes.append(w2)
             par_y = cy & pelm
             par_x = cx & pelm
-            sads = []
-            for (dx, dy) in offsets:
-                ci = classes.index((dy % pel, dx % pel))
-                # group the pel^2 parity cases by their (oy, ox) window
-                # geometry — most offsets collapse to 1-2 distinct slices —
-                # select the block VECTOR by parity, then do one SAD
-                geoms = {}
-                for qy in range(pel):
-                    for qx in range(pel):
-                        oy, ox = case_geometry(qy, qx, dy, dx)
-                        geoms.setdefault((oy, ox), []).append((qy, qx))
-                blk = None
-                for (oy, ox), cases_list in geoms.items():
-                    cand = jax.lax.slice(planes[ci], (oy, ox),
-                                         (oy + bs_y, ox + bs_x))
-                    if blk is None:
-                        blk = cand
-                    else:
-                        sel = None
-                        for (qy, qx) in cases_list:
-                            c = ((par_y == np.int32(qy))
-                                 & (par_x == np.int32(qx)))
-                            sel = c if sel is None else (sel | c)
-                        blk = jnp.where(sel, cand, blk)
-                # i64-free SAD (jnp.sum(int32) accumulates in i64 under
-                # x64, which Mosaic rejects): 8-bit data sums exactly in
-                # one f32 pass (max 255*blkarea < 2^24); 16-bit needs the
-                # hi/lo split
-                v = jnp.abs(blk - src)
-                if single_sum:
-                    sads.append(jnp.sum(v.astype(jnp.float32))
-                                .astype(jnp.int32))
-                else:
-                    lo = jnp.sum((v & 255).astype(jnp.float32))
-                    hi = jnp.sum((v >> 8).astype(jnp.float32))
-                    sads.append(lo.astype(jnp.int32)
-                                + (hi.astype(jnp.int32) << 8))
-                if satd_mats is not None:
-                    d_f32 = (blk - src).astype(jnp.float32)
-                    sads.append(_kernel_satd(
-                        d_f32, satd_mats).astype(jnp.int32))
-                    sads.append(jnp.sum(blk.astype(jnp.float32))
-                                .astype(jnp.int32))
+            sads = _eval_offsets(planes, src, offsets, classes, bs_y,
+                                 bs_x, pel, min_dx, min_dy, par_y,
+                                 par_x, single_sum, satd_mats)
             rows.append(jnp.stack(sads))
             nxt = t + n_buf
             if nxt < n_dma:
@@ -488,6 +505,351 @@ def probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
         lambda cy, cx, sb: impl(stack, cy, cx, sb.astype(I32), offsets,
                                 bs_y, bs_x, pel, stats=stats),
         [cand_y, cand_x, src_blocks])
+
+
+# ---------------------------------------------------------------------------
+# Tiled probe: one window DMA per TILE of consecutive blocks instead of
+# one per (block, candidate).  The per-window DMA latency (~0.3us) is
+# the probe floor (BASELINE.md); adjacent blocks' windows overlap almost
+# entirely (16px apart, MVs spatially smooth), so the tile kernel DMAs a
+# single [pel^2, WY, WX] window per tile — base anchored at the
+# median-of-3 of the tile's first candidates — and every (block,
+# candidate) reads its subwindow from VMEM scratch with tile-aligned
+# dynamic slices + in-register rolls.  Candidates whose window falls
+# outside the static tile extent report INVALID_SAD (they lose every
+# comparison; the dense zero-trial guarantees a real cost bound exists),
+# the field engine's equivalent of skipping a rare far-flung candidate.
+
+INVALID_SAD = np.int32(np.iinfo(np.int32).max)
+
+
+def _tile_geom(offsets, bs_y: int, bs_x: int, pel: int):
+    """(min_dx, min_dy, wy, wx, rows2, cxs): logical window of the
+    offset set plus the tile-kernel slice sizes — rows2 rows are kept
+    after the sublane roll, cxs lanes are loaded at a 128-aligned
+    offset (worst within-slice start 127)."""
+    min_dx, min_dy, wy, wx = _window_geom(offsets, bs_y, bs_x, pel)
+    rows2 = -(-wy // 8) * 8
+    cxs = -(-(wx + 127) // 128) * 128
+    return min_dx, min_dy, wy, wx, rows2, cxs
+
+
+def tile_params(offsets, bs_y: int, bs_x: int, pel: int, tile: int,
+                pitch_x: int, margin_y: int = 20, margin_x: int = 64):
+    """Static tile-window extents and anchor centering for
+    probe_sads_tiled.
+
+    pitch_x: full-pel distance between consecutive blocks' window
+    bases ((bsx - overlap) for the engine's block grids); margins are
+    the tolerated full-pel MV deviation from the tile anchor."""
+    _, _, wy, wx, rows2, cxs = _tile_geom(offsets, bs_y, bs_x, pel)
+    wy_total = -(-(max(rows2, wy + 2 * margin_y)) // 32) * 32
+    span = (tile - 1) * pitch_x
+    wx_total = -(-(span + cxs + 2 * margin_x) // 128) * 128
+    center_y = margin_y
+    center_x = (tile // 2) * pitch_x + margin_x
+    return wy_total, wx_total, center_y, center_x
+
+
+def _med3(a, b, c):
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c))
+
+
+def _tile_base(wb0, wbm, wb1, center, lo_max, align_mask):
+    """Clamped, aligned-down tile window base from the med3 anchor."""
+    anchor = _med3(wb0, wbm, wb1)
+    base = jnp.clip(anchor - np.int32(center), np.int32(0),
+                    np.int32(lo_max))
+    return base & np.int32(align_mask)
+
+
+def probe_sads_tiled_xla(stack, cand_y, cand_x, src_blocks, offsets,
+                         bs_y: int, bs_x: int, pel: int, tile: int,
+                         wy_total: int, wx_total: int, center_y: int,
+                         center_x: int, stats: str = "sad"):
+    """Reference semantics of the tiled probe: per-block SADs where the
+    candidate window fits the tile extent, INVALID_SAD elsewhere.
+    nblk must be a multiple of `tile` (probe_sads_tiled pads)."""
+    logp = pel.bit_length() - 1
+    min_dx, min_dy, wy, wx, rows2, cxs = _tile_geom(offsets, bs_y, bs_x,
+                                                    pel)
+    H, W = stack.shape[1], stack.shape[2]
+    nblk, kk = cand_y.shape
+    ntile = nblk // tile
+    wb_y = (cand_y + min_dy) >> logp
+    wb_x = (cand_x + min_dx) >> logp
+    wyt = wb_y.reshape(ntile, tile, kk)
+    wxt = wb_x.reshape(ntile, tile, kk)
+    ay = _tile_base(wyt[:, 0, 0], wyt[:, tile // 2, 0], wyt[:, -1, 0],
+                    center_y, H - wy_total, ~7)
+    ax = _tile_base(wxt[:, 0, 0], wxt[:, tile // 2, 0], wxt[:, -1, 0],
+                    center_x, W - wx_total, ~127)
+    rel_y = wyt - ay[:, None, None]
+    rel_x = wxt - ax[:, None, None]
+    valid = ((rel_y >= 0) & (rel_y + wy <= wy_total)
+             & (rel_x >= 0)
+             & ((rel_x & ~127) + cxs <= wx_total))
+    valid = valid.reshape(nblk, kk)
+    out = probe_sads_xla(stack, cand_y, cand_x, src_blocks, offsets,
+                         bs_y, bs_x, pel, stats=stats)
+    mask = valid[:, :, None]
+    if stats == "sad_satd_luma":
+        mask = mask[..., None]
+    return jnp.where(mask, out, INVALID_SAD)
+
+
+def _tiled_probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
+                        offsets, bs_y, bs_x, pel, tile, chunk_t, k,
+                        wy_total, wx_total, center_y, center_x, grid_n,
+                        single_sum, stats="sad"):
+    if stats == "sad_satd_luma":
+        satd_mats = tuple(r[...] for r in rest[:5])
+        rest = rest[5:]
+    else:
+        satd_mats = None
+    out_ref, win_scratch, coord_smem, sems, coord_sems = rest
+    logp = pel.bit_length() - 1
+    pelm = np.int32(pel - 1)
+    min_dx, min_dy, wy, wx, rows2, cxs = _tile_geom(offsets, bs_y, bs_x,
+                                                    pel)
+    rows2 = min(rows2, wy_total)
+    n_sub = pel * pel
+    H, W = stack_ref.shape[1], stack_ref.shape[2]
+    classes = _offset_classes(offsets, pel)
+    nblocks = chunk_t * tile
+    g = pl.program_id(0)
+
+    def coord_copies(buf, step_row):
+        row = pl.multiple_of(step_row * np.int32(nblocks), nblocks)
+        return [pltpu.make_async_copy(
+                    ref.at[pl.ds(row, nblocks)],
+                    coord_smem.at[np.int32(buf), np.int32(i)],
+                    coord_sems.at[np.int32(buf)])
+                for i, ref in ((0, cy_ref), (1, cx_ref))]
+
+    def center(buf, blk, kk_):
+        return (coord_smem[np.int32(buf), np.int32(0), np.int32(blk),
+                           np.int32(kk_)],
+                coord_smem[np.int32(buf), np.int32(1), np.int32(blk),
+                           np.int32(kk_)])
+
+    def wb_of(buf, blk, kk_):
+        cy, cx = center(buf, blk, kk_)
+        return ((cy + np.int32(min_dy)) >> logp,
+                (cx + np.int32(min_dx)) >> logp)
+
+    def base_of(buf, j):
+        b0 = j * tile
+        y0, x0 = wb_of(buf, b0, 0)
+        ym, xm = wb_of(buf, b0 + tile // 2, 0)
+        y1, x1 = wb_of(buf, b0 + tile - 1, 0)
+        ay = _tile_base(y0, ym, y1, center_y, H - wy_total, ~7)
+        ax = _tile_base(x0, xm, x1, center_x, W - wx_total, ~127)
+        return (pl.multiple_of(ay, 8), pl.multiple_of(ax, 128))
+
+    def tile_dmas(buf, j):
+        ay, ax = base_of(buf, j)
+        return [pltpu.make_async_copy(
+                    stack_ref.at[np.int32(s), pl.ds(ay, wy_total),
+                                 pl.ds(ax, wx_total)],
+                    win_scratch.at[np.int32(j), np.int32(s)],
+                    sems.at[np.int32(j)])
+                for s in range(n_sub)]
+
+    # step coords: this step into buf 0, next step's into buf 1
+    for c in coord_copies(0, g):
+        c.start()
+        c.wait()
+    if grid_n > 1:
+        @pl.when(g < np.int32(grid_n - 1))
+        def _():
+            for c in coord_copies(1, g + 1):
+                c.start()
+
+    # the first step must start its own window DMAs (later steps find
+    # them already in flight from the previous step's tail)
+    @pl.when(g == np.int32(0))
+    def _():
+        for j in range(chunk_t):
+            for c in tile_dmas(0, j):
+                c.start()
+
+    for j in range(chunk_t):
+        for c in tile_dmas(0, j):
+            c.wait()
+        ay, ax = base_of(0, j)
+        for b in range(tile):
+            blk = j * tile + b
+            src = src_ref[blk].astype(jnp.int32)
+            rows = []
+            for kk_ in range(k):
+                cy, cx = center(0, blk, kk_)
+                wb_y, wb_x = wb_of(0, blk, kk_)
+                rel_y = wb_y - ay
+                rel_x = wb_x - ax
+                valid = ((rel_y >= np.int32(0))
+                         & (rel_y + np.int32(wy) <= np.int32(wy_total))
+                         & (rel_x >= np.int32(0))
+                         & ((rel_x & np.int32(~127)) + np.int32(cxs)
+                            <= np.int32(wx_total)))
+                ry = jnp.clip(rel_y, np.int32(0),
+                              np.int32(wy_total - 1))
+                rxp = jnp.maximum(rel_x, np.int32(0))
+                rx128 = jnp.minimum(rxp & np.int32(~127),
+                                    np.int32(wx_total - cxs))
+                rxr = jnp.clip(rxp - rx128, np.int32(0), np.int32(127))
+                par_y = cy & pelm
+                par_x = cx & pelm
+                planes = {}
+                for ci, (py, px) in enumerate(classes):
+                    sub = (((cx & pelm) + np.int32(px)) & pelm) \
+                        | ((((cy & pelm) + np.int32(py)) & pelm) << logp)
+                    w2 = win_scratch[np.int32(j), sub, :,
+                                     pl.ds(pl.multiple_of(rx128, 128),
+                                           cxs)].astype(jnp.int32)
+                    w2 = pltpu.roll(w2, -ry, 0)
+                    w2 = jax.lax.slice(w2, (0, 0), (rows2, cxs))
+                    w2 = pltpu.roll(w2, -rxr, 1)
+                    planes[ci] = w2
+                sads = _eval_offsets(planes, src, offsets, classes,
+                                     bs_y, bs_x, pel, min_dx, min_dy,
+                                     par_y, par_x, single_sum,
+                                     satd_mats)
+                row = jnp.stack(sads)
+                rows.append(jnp.where(valid, row,
+                                      jnp.full_like(row, INVALID_SAD)))
+            out_ref[blk] = jnp.stack(rows)
+
+    # tail: prefetch the next step's tile windows (slots are free — this
+    # step's waits all happened above)
+    if grid_n > 1:
+        @pl.when(g < np.int32(grid_n - 1))
+        def _():
+            for c in coord_copies(1, g + 1):
+                c.wait()
+            for j in range(chunk_t):
+                for c in tile_dmas(1, j):
+                    c.start()
+
+
+def probe_sads_tiled_pallas(stack, cand_y, cand_x, src_blocks, offsets,
+                            bs_y: int, bs_x: int, pel: int, tile: int,
+                            wy_total: int, wx_total: int, center_y: int,
+                            center_x: int, stats: str = "sad"):
+    """Pallas TPU tiled probe; same contract as probe_sads_tiled_xla.
+    nblk must be a multiple of `tile`."""
+    nblk, kk = cand_y.shape
+    n_stats = 3 if stats == "sad_satd_luma" else 1
+    if n_stats == 3 and stack.dtype != jnp.uint8:
+        raise ValueError("probe stats path supports 8-bit stacks only")
+    offsets = tuple(tuple(int(v) for v in o) for o in offsets)
+    chunk_t = max(1, min(8, 64 // (tile * kk)))
+    # keep the tile-window scratch under ~4MB of VMEM (pel=4 stacks
+    # carry 16 subplanes per window)
+    slot_bytes = pel * pel * wy_total * wx_total * stack.dtype.itemsize
+    chunk_t = max(1, min(chunk_t, (4 << 20) // slot_bytes))
+    nblocks = chunk_t * tile
+
+    pad_blk = (-nblk) % nblocks
+    if pad_blk:
+        cand_y = jnp.pad(cand_y, ((0, pad_blk), (0, 0)), mode="edge")
+        cand_x = jnp.pad(cand_x, ((0, pad_blk), (0, 0)), mode="edge")
+        src_blocks = jnp.pad(src_blocks, ((0, pad_blk), (0, 0), (0, 0)))
+    n = cand_y.shape[0]
+    grid = n // nblocks
+    cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
+    cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
+
+    single_sum = (stack.dtype == jnp.uint8
+                  and 255 * bs_y * bs_x < (1 << 24))
+    kernel = functools.partial(
+        _tiled_probe_kernel, offsets=offsets, bs_y=bs_y, bs_x=bs_x,
+        pel=pel, tile=tile, chunk_t=chunk_t, k=kk, wy_total=wy_total,
+        wx_total=wx_total, center_y=center_y, center_x=center_x,
+        grid_n=grid, single_sum=single_sum, stats=stats)
+
+    z = np.int32(0)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),    # cand_y in HBM
+        pl.BlockSpec(memory_space=pl.ANY),    # cand_x in HBM
+        pl.BlockSpec(memory_space=pl.ANY),    # subplane stack in HBM
+        pl.BlockSpec((nblocks, src_blocks.shape[1],
+                      src_blocks.shape[2]),
+                     lambda g: (g, z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    extra_inputs = []
+    if n_stats == 3:
+        for m in _satd_mats(bs_y, bs_x):
+            in_specs.append(pl.BlockSpec(
+                m.shape, lambda g: (z, z), memory_space=pltpu.VMEM))
+            extra_inputs.append(jnp.asarray(m))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nblocks, kk, len(offsets) * n_stats),
+                               lambda g: (g, z, z),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_t, pel * pel, wy_total, wx_total),
+                       stack.dtype),
+            pltpu.SMEM((2, 2, nblocks, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((chunk_t,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, kk, len(offsets) * n_stats),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(cand_y, cand_x, stack, src_blocks, *extra_inputs)
+    out = out[:nblk]
+    if n_stats == 3:
+        return out.reshape(nblk, kk, len(offsets), 3)
+    return out
+
+
+def probe_sads_tiled(stack, cand_y, cand_x, src_blocks, offsets,
+                     bs_y: int, bs_x: int, pel: int, row_len: int,
+                     pitch_x: int, tile: int = 0,
+                     margin_y: int = 20, margin_x: int = 64,
+                     stats: str = "sad"):
+    """Tiled probe over a [nrows, row_len] block grid: pads each block
+    row to a multiple of `tile`, dispatches Pallas/XLA, and falls back
+    to the per-block probe when the plane is too small for the tile
+    window or a spatial shard context is active (tile grouping is not
+    row-aligned across shard bands yet)."""
+    nblk, kk = cand_y.shape
+    if tile <= 0:
+        tile = 8 if kk <= 2 else 4
+    wy_total, wx_total, center_y, center_x = tile_params(
+        offsets, bs_y, bs_x, pel, tile, pitch_x,
+        margin_y=margin_y, margin_x=margin_x)
+    too_small = (stack.shape[1] < wy_total
+                 or stack.shape[2] < wx_total)
+    if too_small or _SPATIAL_AXIS or nblk % row_len != 0:
+        return probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
+                          bs_y, bs_x, pel, stats=stats)
+    nrows = nblk // row_len
+    rlp = -(-row_len // tile) * tile
+
+    def rpad(a):
+        if rlp == row_len:
+            return a
+        a = a.reshape((nrows, row_len) + a.shape[1:])
+        pad = [(0, 0), (0, rlp - row_len)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pad, mode="edge").reshape(
+            (nrows * rlp,) + a.shape[2:])
+
+    cy, cx, sb = rpad(cand_y), rpad(cand_x), rpad(src_blocks)
+    impl = (probe_sads_tiled_pallas if jax.default_backend() == "tpu"
+            else probe_sads_tiled_xla)
+    out = impl(stack, cy, cx, sb.astype(I32), offsets, bs_y, bs_x, pel,
+               tile, wy_total, wx_total, center_y, center_x, stats=stats)
+    if rlp != row_len:
+        out = out.reshape((nrows, rlp) + out.shape[1:])[:, :row_len]
+        out = out.reshape((nblk,) + out.shape[2:])
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,7 @@ def recalculate(src_super: Super, ref_super: Super, old_mv: MVField,
                  and spec.search in (SearchType.EXHAUSTIVE,
                                      SearchType.HEX2, SearchType.UMH)
                  and (spec.dct == 0
+                      or 1 <= spec.dct <= 4
                       or (5 <= spec.dct <= 10 and ctx.bits == 8
                           and satd_ops.satd_supported(*ctx.blk_size))))
     if use_field:
@@ -323,12 +324,18 @@ def _recalculate_field(src_super: Super, ref_super: Super, old_mv: MVField,
         src_u_blocks = src_v_blocks = None
 
     src_luma_a = (jax.vmap(sad_ops.luma)(src_blocks).astype(I64)
-                  if spec.dct in (7, 8, 10)
+                  if spec.dct in (3, 4, 7, 8, 10)
                   else (jnp.zeros((nblk,), I64) if spec.dct else None))
+    if 1 <= spec.dct <= 4:
+        from .ops import dct as dct_ops
+        dct_src_blocks = jax.vmap(
+            lambda b: dct_ops.dct_block(b, ctx.bits))(src_blocks)
+    else:
+        dct_src_blocks = None
     prober = fe.FieldProber(ctx, src_blocks, src_u_blocks, src_v_blocks,
                             x0_a, y0_a, xc_a, yc_a, bounds, spec.pnew,
                             dctmode=spec.dct, src_luma=src_luma_a,
-                            dctweight16=_i32(8))
+                            dctweight16=_i32(8), dct_src=dct_src_blocks)
 
     cpx = jnp.clip(px_a, dxmin_a, dxmax_a - 1)
     cpy = jnp.clip(py_a, dymin_a, dymax_a - 1)
