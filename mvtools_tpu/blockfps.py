@@ -178,9 +178,11 @@ def blockfps_frame(src_planes: Sequence[jnp.ndarray],
         sp_y = pos_y >> sub_y
         zeros = jnp.zeros_like(pos_x)
         src_blocks = gather_blocks(src_u[None], sp_x, sp_y, zeros, zeros,
-                                   p_bsy, p_bsx, 0, 0, 0)
+                                   p_bsy, p_bsx, 0, 0, 0,
+                                   pitch_fp=p_bsx - p_ovx)
         ref_blocks = gather_blocks(ref_u[None], sp_x, sp_y, zeros, zeros,
-                                   p_bsy, p_bsx, 0, 0, 0)
+                                   p_bsy, p_bsx, 0, 0, 0,
+                                   pitch_fp=p_bsx - p_ovx)
 
         # full-res masks, sliced per block
         def mask_blocks(small):
@@ -190,7 +192,8 @@ def blockfps_frame(src_planes: Sequence[jnp.ndarray],
             else:
                 full = resize.simple_resize(small, geo.height_p, geo.width_p)
             return gather_blocks(full[None], sp_x, sp_y, zeros, zeros,
-                                 p_bsy, p_bsx, 0, 0, 0)
+                                 p_bsy, p_bsx, 0, 0, 0,
+                                 pitch_fp=p_bsx - p_ovx)
 
         mb = mask_blocks(mask_small_b) if need_masks else None
         mf = mask_blocks(mask_small_f) if need_masks else None

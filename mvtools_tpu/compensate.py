@@ -112,11 +112,12 @@ def compensate(src_super: Super, ref_super: Super, mv: MVField,
         src_stack = stack(src_super)
 
         rb = gather_blocks(ref_stack, pos_x, pos_y, vx, vy, p_bsy, p_bsx,
-                           log_pel, hpad_p * pel, vpad_p * pel, sub_x, sub_y)
+                           log_pel, hpad_p * pel, vpad_p * pel, sub_x, sub_y,
+                           pitch_fp=p_bsx - p_ovx)
         zero = jnp.zeros_like(vx)
         sb = gather_blocks(src_stack, pos_x, pos_y, zero, zero + field_shift,
                            p_bsy, p_bsx, log_pel, hpad_p * pel, vpad_p * pel,
-                           sub_x, sub_y)
+                           sub_x, sub_y, pitch_fp=p_bsx - p_ovx)
         blocks = jnp.where(good[..., None, None], rb, sb)
 
         src_plane0 = src_super.planes[plane][0]

@@ -70,20 +70,24 @@ def _normalise_weights(wrefs: List[jnp.ndarray]):
 
 def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
                   bsy: int, bsx: int, log_pel: int, pad_x_pel: int,
-                  pad_y_pel: int, sub_x: int = 0, sub_y: int = 0):
+                  pad_y_pel: int, sub_x: int = 0, sub_y: int = 0,
+                  pitch_fp: int = 0):
     """Gather one [bsy, bsx] patch per block from a pel-subplane stack.
 
     block_x/y: per-block unpadded pixel position of the block (luma units
     pre-shifted by caller for chroma).  mv values in pel units.
     Matches useBlock's mvpGetPointer addressing (MVDegrains.h:192-206):
     blx = (block_pos << log_pel) + mv, chroma shifted arithmetically.
+    pitch_fp: full-pel distance between consecutive blocks in a grid row
+    (when block_x is a 2-D [nby, nbx] grid) — enables the tiled fetch
+    kernel (one window DMA per tile of blocks; exact per-block fallback).
     """
     stack_pel = int(round(plane_stack.shape[0] ** 0.5))
     from .ops import probe as probe_ops
 
     if jax.default_backend() == "tpu":
         # window-DMA fetch kernel (~0.3us/block vs ~1.4us for the XLA
-        # per-block gather)
+        # per-block gather); tiled when the caller supplies grid info
         xa = (((block_x.reshape(-1) << log_pel) + mv_x.reshape(-1))
               >> sub_x) + pad_x_pel
         ya = (((block_y.reshape(-1) << log_pel) + mv_y.reshape(-1))
@@ -94,11 +98,17 @@ def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
         xa = jnp.clip(xa, 0, (plane_stack.shape[2] - bsx) << lp)
         ya = jnp.clip(ya, 0, (plane_stack.shape[1] - bsy) << lp)
         stackp = probe_ops.pad_stack(plane_stack, 0)
-        flat = probe_ops.spatial_shard(
-            lambda y, x: probe_ops.fetch_blocks_pallas(
-                stackp, y[:, None], x[:, None], bsy, bsx,
-                stack_pel)[:, 0],
-            [ya, xa])
+        tiled = pitch_fp > 0 and block_x.ndim == 2
+        if tiled:
+            flat = probe_ops.fetch_blocks_tiled(
+                stackp, ya[:, None], xa[:, None], bsy, bsx, stack_pel,
+                row_len=block_x.shape[1], pitch_x=pitch_fp)[:, 0]
+        else:
+            flat = probe_ops.spatial_shard(
+                lambda y, x: probe_ops.fetch_blocks_pallas(
+                    stackp, y[:, None], x[:, None], bsy, bsx,
+                    stack_pel)[:, 0],
+                [ya, xa])
         return flat.reshape(*block_x.shape, bsy, bsx)
 
     def one(bx, by, vx, vy):
@@ -209,7 +219,8 @@ def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
         zeros = jnp.zeros_like(pos_x)
         src_stack = src32[None]
         src_blocks = gather_blocks(src_stack, sp_x, sp_y, zeros, zeros,
-                                   p_bsy, p_bsx, 0, 0, 0)
+                                   p_bsy, p_bsx, 0, 0, 0,
+                                   pitch_fp=(bsx - ovx) >> sub_x)
 
         # weights + reference blocks per vector clip
         acc = jnp.full((nby, nbx, p_bsy, p_bsx), 128, I32)
@@ -226,7 +237,8 @@ def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
                 stack = stack[None]
             rb = gather_blocks(stack, pos_x, pos_y, finest.x, finest.y,
                                p_bsy, p_bsx, log_pel,
-                               hpad_p * pel, vpad_p * pel, sub_x, sub_y)
+                               hpad_p * pel, vpad_p * pel, sub_x, sub_y,
+                               pitch_fp=(bsx - ovx) >> sub_x)
             ref_blocks.append(rb)
 
         wsrc, wrefs = _normalise_weights(wrefs)

@@ -79,11 +79,14 @@ class spatial_axis:
         return False
 
 
-def spatial_shard(call, blocked_args):
+def spatial_shard(call, blocked_args, row_len: int = 0):
     """Run `call(*blocked_args)` on this device's band of the leading
     (block) axis and all_gather the result; identity outside a
     spatial_axis context.  blocked_args share the leading axis; the
-    band is edge-padded so every device runs the same static shapes."""
+    band is edge-padded so every device runs the same static shapes.
+    row_len > 0 makes bands whole multiples of the block grid's row
+    length (required by the tiled probes, whose tiles group consecutive
+    blocks of one row)."""
     if not _SPATIAL_AXIS:
         return call(*blocked_args)
     ax = _SPATIAL_AXIS[-1]
@@ -94,7 +97,10 @@ def spatial_shard(call, blocked_args):
     if n == 1:
         return call(*blocked_args)
     nblk = blocked_args[0].shape[0]
-    band = -(-nblk // n)
+    if row_len > 0 and nblk % row_len == 0:
+        band = -(-(nblk // row_len) // n) * row_len
+    else:
+        band = -(-nblk // n)
     i = jax.lax.axis_index(ax)
 
     def cut(a):
@@ -817,8 +823,8 @@ def probe_sads_tiled(stack, cand_y, cand_x, src_blocks, offsets,
     """Tiled probe over a [nrows, row_len] block grid: pads each block
     row to a multiple of `tile`, dispatches Pallas/XLA, and falls back
     to the per-block probe when the plane is too small for the tile
-    window or a spatial shard context is active (tile grouping is not
-    row-aligned across shard bands yet)."""
+    window.  Inside a spatial_axis context the block axis is sharded in
+    row-aligned bands (tiles never span shard boundaries)."""
     nblk, kk = cand_y.shape
     if tile <= 0:
         tile = 8 if kk <= 2 else 4
@@ -827,29 +833,36 @@ def probe_sads_tiled(stack, cand_y, cand_x, src_blocks, offsets,
         margin_y=margin_y, margin_x=margin_x)
     too_small = (stack.shape[1] < wy_total
                  or stack.shape[2] < wx_total)
-    if too_small or _SPATIAL_AXIS or nblk % row_len != 0:
+    if too_small or nblk % row_len != 0:
         return probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
                           bs_y, bs_x, pel, stats=stats)
-    nrows = nblk // row_len
-    rlp = -(-row_len // tile) * tile
-
-    def rpad(a):
-        if rlp == row_len:
-            return a
-        a = a.reshape((nrows, row_len) + a.shape[1:])
-        pad = [(0, 0), (0, rlp - row_len)] + [(0, 0)] * (a.ndim - 2)
-        return jnp.pad(a, pad, mode="edge").reshape(
-            (nrows * rlp,) + a.shape[2:])
-
-    cy, cx, sb = rpad(cand_y), rpad(cand_x), rpad(src_blocks)
     impl = (probe_sads_tiled_pallas if jax.default_backend() == "tpu"
             else probe_sads_tiled_xla)
-    out = impl(stack, cy, cx, sb.astype(I32), offsets, bs_y, bs_x, pel,
-               tile, wy_total, wx_total, center_y, center_x, stats=stats)
-    if rlp != row_len:
-        out = out.reshape((nrows, rlp) + out.shape[1:])[:, :row_len]
-        out = out.reshape((nblk,) + out.shape[2:])
-    return out
+
+    def run(cy, cx, sb):
+        nb = cy.shape[0]
+        nrows = nb // row_len
+        rlp = -(-row_len // tile) * tile
+
+        def rpad(a):
+            if rlp == row_len:
+                return a
+            a = a.reshape((nrows, row_len) + a.shape[1:])
+            pad = [(0, 0), (0, rlp - row_len)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pad, mode="edge").reshape(
+                (nrows * rlp,) + a.shape[2:])
+
+        out = impl(stack, rpad(cy), rpad(cx), rpad(sb).astype(I32),
+                   offsets, bs_y, bs_x, pel, tile, wy_total, wx_total,
+                   center_y, center_x, stats=stats)
+        if rlp != row_len:
+            out = out.reshape((nrows, rlp) + out.shape[1:])[:, :row_len]
+            out = out.reshape((nb,) + out.shape[2:])
+        return out
+
+    # spatial sharding: row-aligned bands so tiles never span bands
+    return spatial_shard(run, [cand_y, cand_x, src_blocks],
+                         row_len=row_len)
 
 
 # ---------------------------------------------------------------------------
@@ -922,6 +935,235 @@ def _fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
             if nxt < n_dma:
                 make_dma(nxt, slot).start()
         out_ref[b] = jnp.stack(blks)
+
+
+def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
+                        fb_scratch, coord_smem, sems, fb_sem, coord_sems,
+                        *, bs_y, bs_x, pel, tile, chunk_t, k, wy_total,
+                        wx_total, center_y, center_x, grid_n):
+    """Tiled variant of _fetch_kernel: one [pel^2, WY, WX] window DMA
+    per tile of consecutive blocks; a block whose window misses the
+    tile extent falls back to its own private window DMA (predicated —
+    rare), so the fetch is EXACT for every block."""
+    logp = pel.bit_length() - 1
+    pelm = np.int32(pel - 1)
+    rows2 = min(-(-bs_y // 8) * 8, wy_total)
+    cxs = -(-(bs_x + 127) // 128) * 128
+    fwy = -(-(bs_y + 8) // 32) * 32
+    fwx = -(-(bs_x + 128) // 128) * 128
+    n_sub = pel * pel
+    H, W = stack_ref.shape[1], stack_ref.shape[2]
+    nblocks = chunk_t * tile
+    g = pl.program_id(0)
+
+    def coord_copies(buf, step_row):
+        row = pl.multiple_of(step_row * np.int32(nblocks), nblocks)
+        return [pltpu.make_async_copy(
+                    ref.at[pl.ds(row, nblocks)],
+                    coord_smem.at[np.int32(buf), np.int32(i)],
+                    coord_sems.at[np.int32(buf)])
+                for i, ref in ((0, cy_ref), (1, cx_ref))]
+
+    def center(buf, blk, kk_):
+        return (coord_smem[np.int32(buf), np.int32(0), np.int32(blk),
+                           np.int32(kk_)],
+                coord_smem[np.int32(buf), np.int32(1), np.int32(blk),
+                           np.int32(kk_)])
+
+    def wb_of(buf, blk, kk_):
+        cy, cx = center(buf, blk, kk_)
+        return (cy >> logp, cx >> logp)
+
+    def base_of(buf, j):
+        b0 = j * tile
+        y0, x0 = wb_of(buf, b0, 0)
+        ym, xm = wb_of(buf, b0 + tile // 2, 0)
+        y1, x1 = wb_of(buf, b0 + tile - 1, 0)
+        ay = _tile_base(y0, ym, y1, center_y, H - wy_total, ~7)
+        ax = _tile_base(x0, xm, x1, center_x, W - wx_total, ~127)
+        return (pl.multiple_of(ay, 8), pl.multiple_of(ax, 128))
+
+    def tile_dmas(buf, j):
+        ay, ax = base_of(buf, j)
+        return [pltpu.make_async_copy(
+                    stack_ref.at[np.int32(s), pl.ds(ay, wy_total),
+                                 pl.ds(ax, wx_total)],
+                    win_scratch.at[np.int32(j), np.int32(s)],
+                    sems.at[np.int32(j)])
+                for s in range(n_sub)]
+
+    for c in coord_copies(0, g):
+        c.start()
+        c.wait()
+    if grid_n > 1:
+        @pl.when(g < np.int32(grid_n - 1))
+        def _():
+            for c in coord_copies(1, g + 1):
+                c.start()
+
+    @pl.when(g == np.int32(0))
+    def _():
+        for j in range(chunk_t):
+            for c in tile_dmas(0, j):
+                c.start()
+
+    for j in range(chunk_t):
+        for c in tile_dmas(0, j):
+            c.wait()
+        ay, ax = base_of(0, j)
+        for b in range(tile):
+            blk = j * tile + b
+            blks = []
+            for kk_ in range(k):
+                cy, cx = center(0, blk, kk_)
+                wb_y, wb_x = wb_of(0, blk, kk_)
+                sub = (cx & pelm) | ((cy & pelm) << logp)
+                rel_y = wb_y - ay
+                rel_x = wb_x - ax
+                valid = ((rel_y >= np.int32(0))
+                         & (rel_y + np.int32(bs_y) <= np.int32(wy_total))
+                         & (rel_x >= np.int32(0))
+                         & ((rel_x & np.int32(~127)) + np.int32(cxs)
+                            <= np.int32(wx_total)))
+                # rare fallback: a private window DMA for this block
+                fy = pl.multiple_of(wb_y & np.int32(~7), 8)
+                fx = pl.multiple_of(wb_x & np.int32(~127), 128)
+                fb = pltpu.make_async_copy(
+                    stack_ref.at[sub, pl.ds(fy, fwy), pl.ds(fx, fwx)],
+                    fb_scratch, fb_sem)
+
+                @pl.when(jnp.logical_not(valid))
+                def _(fb=fb):
+                    fb.start()
+                    fb.wait()
+
+                ry = jnp.clip(rel_y, np.int32(0),
+                              np.int32(wy_total - 1))
+                rxp = jnp.maximum(rel_x, np.int32(0))
+                rx128 = jnp.minimum(rxp & np.int32(~127),
+                                    np.int32(wx_total - cxs))
+                rxr = jnp.clip(rxp - rx128, np.int32(0), np.int32(127))
+                w2 = win_scratch[np.int32(j), sub, :,
+                                 pl.ds(pl.multiple_of(rx128, 128),
+                                       cxs)].astype(jnp.int32)
+                w2 = pltpu.roll(w2, -ry, 0)
+                w2 = jax.lax.slice(w2, (0, 0), (rows2, cxs))
+                w2 = pltpu.roll(w2, -rxr, 1)
+                blk_t = jax.lax.slice(w2, (0, 0), (bs_y, bs_x))
+                f2 = fb_scratch[...].astype(jnp.int32)
+                f2 = pltpu.roll(f2, -(wb_y & np.int32(7)), 0)
+                f2 = jax.lax.slice(f2, (0, 0),
+                                   (min(rows2, fwy), fwx))
+                f2 = pltpu.roll(f2, -(wb_x & np.int32(127)), 1)
+                blk_f = jax.lax.slice(f2, (0, 0), (bs_y, bs_x))
+                blks.append(jnp.where(valid, blk_t, blk_f))
+            out_ref[blk] = jnp.stack(blks)
+
+    if grid_n > 1:
+        @pl.when(g < np.int32(grid_n - 1))
+        def _():
+            for c in coord_copies(1, g + 1):
+                c.wait()
+            for j in range(chunk_t):
+                for c in tile_dmas(1, j):
+                    c.start()
+
+
+def fetch_blocks_tiled_pallas(stack, cand_y, cand_x, bs_y: int,
+                              bs_x: int, pel: int, tile: int,
+                              wy_total: int, wx_total: int,
+                              center_y: int, center_x: int):
+    """[nblk, K, bs_y, bs_x] int32 blocks, tiled window DMAs + exact
+    per-block fallback.  nblk must be a multiple of `tile`."""
+    nblk, kk = cand_y.shape
+    chunk_t = max(1, min(8, 64 // (tile * kk)))
+    slot_bytes = pel * pel * wy_total * wx_total * stack.dtype.itemsize
+    chunk_t = max(1, min(chunk_t, (4 << 20) // slot_bytes))
+    nblocks = chunk_t * tile
+
+    pad_blk = (-nblk) % nblocks
+    if pad_blk:
+        cand_y = jnp.pad(cand_y, ((0, pad_blk), (0, 0)), mode="edge")
+        cand_x = jnp.pad(cand_x, ((0, pad_blk), (0, 0)), mode="edge")
+    n = cand_y.shape[0]
+    grid = n // nblocks
+    cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
+    cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
+
+    fwy = -(-(bs_y + 8) // 32) * 32
+    fwx = -(-(bs_x + 128) // 128) * 128
+    kernel = functools.partial(
+        _tiled_fetch_kernel, bs_y=bs_y, bs_x=bs_x, pel=pel, tile=tile,
+        chunk_t=chunk_t, k=kk, wy_total=wy_total, wx_total=wx_total,
+        center_y=center_y, center_x=center_x, grid_n=grid)
+    z = np.int32(0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nblocks, kk, bs_y, bs_x),
+                               lambda g: (g, z, z, z),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_t, pel * pel, wy_total, wx_total),
+                       stack.dtype),
+            pltpu.VMEM((fwy, fwx), stack.dtype),
+            pltpu.SMEM((2, 2, nblocks, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((chunk_t,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, kk, bs_y, bs_x), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(cand_y, cand_x, stack)
+    return out[:nblk]
+
+
+def fetch_blocks_tiled(stack, cand_y, cand_x, bs_y: int, bs_x: int,
+                       pel: int, row_len: int, pitch_x: int,
+                       tile: int = 8, margin_y: int = 20,
+                       margin_x: int = 64):
+    """Tiled block fetch over a [nrows, row_len] block grid (TPU only;
+    call sites fall back to fetch_blocks_pallas themselves elsewhere).
+    Exact for every block — out-of-extent blocks take a private DMA."""
+    nblk, kk = cand_y.shape
+    wy_total, wx_total, center_y, center_x = tile_params(
+        ((0, 0),), bs_y, bs_x, pel, tile, pitch_x,
+        margin_y=margin_y, margin_x=margin_x)
+    too_small = (stack.shape[1] < wy_total
+                 or stack.shape[2] < wx_total)
+    if too_small or nblk % row_len != 0:
+        return spatial_shard(
+            lambda cy, cx: fetch_blocks_pallas(stack, cy, cx, bs_y,
+                                               bs_x, pel),
+            [cand_y, cand_x])
+
+    def run(cy, cx):
+        nb = cy.shape[0]
+        nrows = nb // row_len
+        rlp = -(-row_len // tile) * tile
+
+        def rpad(a):
+            if rlp == row_len:
+                return a
+            a = a.reshape((nrows, row_len) + a.shape[1:])
+            pad = [(0, 0), (0, rlp - row_len)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pad, mode="edge").reshape(
+                (nrows * rlp,) + a.shape[2:])
+
+        out = fetch_blocks_tiled_pallas(stack, rpad(cy), rpad(cx),
+                                        bs_y, bs_x, pel, tile, wy_total,
+                                        wx_total, center_y, center_x)
+        if rlp != row_len:
+            out = out.reshape((nrows, rlp) + out.shape[1:])[:, :row_len]
+            out = out.reshape((nb,) + out.shape[2:])
+        return out
+
+    return spatial_shard(run, [cand_y, cand_x], row_len=row_len)
 
 
 def fetch_blocks_pallas(stack, cand_y, cand_x, bs_y: int, bs_x: int,

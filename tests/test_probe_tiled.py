@@ -189,6 +189,73 @@ def test_lockstep_tiled_matches_untiled_translation(monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.skipif("not __import__('os').environ.get('MVT_TEST_TPU')")
+def test_tiled_pallas_matches_xla_on_hardware():
+    """Real-TPU check: the Pallas tiled kernels agree with the XLA
+    reference bit-for-bit, including INVALID_SAD flagging and the fetch
+    kernel's private-DMA fallback path."""
+    rng = np.random.default_rng(21)
+    pel, bs, tile, pitch, k = 2, 16, 4, 16, 6
+    stack = _mk_stack(rng, pel, 400, 1200)
+    nblk = 64
+    cy, cx = _clustered_cands(rng, nblk, k, pel, pitch)
+    cy[9] += 600          # whole-block outlier -> INVALID (probe) /
+    cx[33] += 1400        # fallback DMA (fetch)
+    cy = np.clip(cy, 0, 700)
+    cx = np.clip(cx, 0, 2100)
+    src = jnp.asarray(
+        rng.integers(0, 256, (nblk, bs, bs)).astype(np.int32))
+    offsets = ((0, 0), (1, -2), (-1, 1))
+    wy_t, wx_t, c_y, c_x = probe.tile_params(offsets, bs, bs, pel, tile,
+                                             pitch)
+    want = np.asarray(probe.probe_sads_tiled_xla(
+        stack, jnp.asarray(cy), jnp.asarray(cx), src, offsets, bs, bs,
+        pel, tile, wy_t, wx_t, c_y, c_x))
+    got = np.asarray(probe.probe_sads_tiled_pallas(
+        stack, jnp.asarray(cy), jnp.asarray(cx), src, offsets, bs, bs,
+        pel, tile, wy_t, wx_t, c_y, c_x))
+    np.testing.assert_array_equal(got, want)
+    # stats (SATD) variant
+    want = np.asarray(probe.probe_sads_tiled_xla(
+        stack, jnp.asarray(cy), jnp.asarray(cx), src, offsets, bs, bs,
+        pel, tile, wy_t, wx_t, c_y, c_x, stats="sad_satd_luma"))
+    got = np.asarray(probe.probe_sads_tiled_pallas(
+        stack, jnp.asarray(cy), jnp.asarray(cx), src, offsets, bs, bs,
+        pel, tile, wy_t, wx_t, c_y, c_x, stats="sad_satd_luma"))
+    np.testing.assert_array_equal(got, want)
+    # tiled fetch must be EXACT everywhere (fallback DMA for outliers)
+    wy_t, wx_t, c_y, c_x = probe.tile_params(((0, 0),), bs, bs, pel, 8,
+                                             pitch)
+    got = np.asarray(probe.fetch_blocks_tiled_pallas(
+        stack, jnp.asarray(cy[:, :1]), jnp.asarray(cx[:, :1]), bs, bs,
+        pel, 8, wy_t, wx_t, c_y, c_x))
+    logp = 1
+    for b in range(nblk):
+        y, x = int(cy[b, 0]), int(cx[b, 0])
+        sub = (x & 1) | ((y & 1) << logp)
+        want_b = np.asarray(stack)[sub, y >> 1:(y >> 1) + bs,
+                                   x >> 1:(x >> 1) + bs]
+        np.testing.assert_array_equal(got[b, 0], want_b.astype(np.int32),
+                                      err_msg=str(b))
+
+
+def test_tiled_fetch_pallas_traces():
+    """Abstract trace of the tiled fetch kernel (exact per-block
+    fallback DMA path included)."""
+    pel, bs, tile, pitch = 2, 16, 8, 16
+    stack = jnp.zeros((pel * pel, 400, 1200), jnp.uint8)
+    nblk = 64
+    cy = jnp.zeros((nblk, 1), jnp.int32) + 200
+    cx = jnp.zeros((nblk, 1), jnp.int32) + 200
+    wy_t, wx_t, c_y, c_x = probe.tile_params(((0, 0),), bs, bs, pel,
+                                             tile, pitch)
+    r = jax.eval_shape(
+        lambda s, a, b: probe.fetch_blocks_tiled_pallas(
+            s, a, b, bs, bs, pel, tile, wy_t, wx_t, c_y, c_x),
+        stack, cy, cx)
+    assert r.shape == (nblk, 1, bs, bs)
+
+
 def test_tiled_pallas_traces():
     """Abstract trace of the Pallas tiled kernel (catches captured
     constants / spec mismatches without TPU hardware)."""
