@@ -28,13 +28,13 @@ import numpy as np
 # Single-CPU-thread throughput of the REFERENCE C code for this
 # pipeline, derived from the compiled scalar-tier harness
 # (tests/golden_harness, 2026-08-17, this machine's CPU): 1080p super
-# build 21.1ms, analyse <=10ms, degrain estimated ~8ms from op counts
-# -> ~1/(0.021 + 2*0.008 + 0.008) ~= 22 frames/s.  The reference's SIMD
-# tiers would be faster still; the scalar tier is what the harness can
-# build (BASELINE.md).  This replaces round 1's stand-in (our own exact
-# engine on XLA CPU, 0.44 fps for this pipeline shape — kept in
-# BASELINE.md for context; it overstated the speedup ~50x).
-REF_SCALAR_BASELINE_FPS = 22.0
+# build 21.1ms, analyse <=10ms each, degrain1 overlap-0 1.33ms measured
+# via the harness degrain1 mode -> ~1/(0.0211 + 2*0.010 + 0.0013)
+# ~= 23 frames/s.  The reference's SIMD tiers would be faster still;
+# the scalar tier is what the harness can build (BASELINE.md).  This
+# replaces round 1's stand-in (our own exact engine on XLA CPU, 0.44
+# fps for this pipeline shape; it overstated the speedup ~50x).
+REF_SCALAR_BASELINE_FPS = 23.0
 CPU_BASELINE_FPS = REF_SCALAR_BASELINE_FPS
 
 

@@ -25,12 +25,17 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 extern "C" {
 #include "MVFrame.h"
 #include "GroupOfPlanes.h"
+#include "MVAnalysisData.h"
+#include "Overlap.h"
 }
+#include "VSHelper4.h"
+#include "MVDegrains.h"
 
 static std::vector<uint8_t> read_file(const char *path, size_t expect) {
     FILE *f = fopen(path, "rb");
@@ -104,7 +109,11 @@ int main(int argc, char **argv) {
         return 0;
     }
 
-    if (strcmp(mode, "analyse")) { fprintf(stderr, "bad mode\n"); return 2; }
+    bool degrain_mode = !strcmp(mode, "degrain1");
+    if (strcmp(mode, "analyse") && !degrain_mode) {
+        fprintf(stderr, "bad mode\n");
+        return 2;
+    }
 
     int blkx = atoi(argv[a++]), blky = atoi(argv[a++]);
     int ovx = atoi(argv[a++]), ovy = atoi(argv[a++]);
@@ -118,48 +127,231 @@ int main(int argc, char **argv) {
     int badrange = atoi(argv[a++]);
     int meander = atoi(argv[a++]), trymany = atoi(argv[a++]);
     int coarse = atoi(argv[a++]);
-    const char *src_path = argv[a++], *ref_path = argv[a++];
-    const char *out_path = argv[a++];
-
-    auto src = read_file(src_path, (size_t)w * h);
-    auto ref = read_file(ref_path, (size_t)w * h);
-    auto sup_src = build_super(src.data(), g, sharp, rfilter);
-    auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
-
     // block counts at the finest level (MVAnalyse.c create)
     int nblkx = (w - ovx) / (blkx - ovx);
     int nblky = (h - ovy) / (blky - ovy);
 
-    GroupOfPlanes gop;
-    gopInit(&gop, blkx, blky, levels, pel, /*nMotionFlags=*/0,
-            /*nCPUFlags=*/0, ovx, ovy, nblkx, nblky, g.rx, g.ry,
-            /*divideExtra=*/0, /*bitsPerSample=*/8);
+    auto run_search = [&](std::vector<uint8_t> &sup_src,
+                          std::vector<uint8_t> &sup_ref) {
+        GroupOfPlanes gop;
+        gopInit(&gop, blkx, blky, levels, pel, /*nMotionFlags=*/0,
+                /*nCPUFlags=*/0, ovx, ovy, nblkx, nblky, g.rx, g.ry,
+                /*divideExtra=*/0, /*bitsPerSample=*/8);
+        MVGroupOfFrames srcGOF, refGOF;
+        mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        mvgofInit(&refGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        uint8_t *pSrc[3] = { sup_src.data(), nullptr, nullptr };
+        uint8_t *pRef[3] = { sup_ref.data(), nullptr, nullptr };
+        int pitch[3] = { g.pitch, 0, 0 };
+        mvgofUpdate(&srcGOF, pSrc, pitch);
+        mvgofUpdate(&refGOF, pRef, pitch);
+        MVArraySizeType size = gopGetArraySize(&gop);
+        std::vector<uint8_t> out(size, 0);
+        gopSearchMVs(&gop, &srcGOF, &refGOF, (SearchType)searchtype,
+                     searchparam, pelsearch, lambda, lsad, pnew, plevel,
+                     global, out.data(), /*fieldShift=*/0,
+                     /*DCT=*/nullptr, /*dctmode=*/0, pzero, pglobal,
+                     badsad, badrange, meander, trymany,
+                     (SearchType)coarse);
+        gopDeinit(&gop);
+        mvgofDeinit(&srcGOF);
+        mvgofDeinit(&refGOF);
+        return out;
+    };
 
-    MVGroupOfFrames srcGOF, refGOF;
-    mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0, g.rx,
-              g.ry, 8);
-    mvgofInit(&refGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0, g.rx,
-              g.ry, 8);
-    uint8_t *pSrc[3] = { sup_src.data(), nullptr, nullptr };
-    uint8_t *pRef[3] = { sup_ref.data(), nullptr, nullptr };
-    int pitch[3] = { g.pitch, 0, 0 };
-    mvgofUpdate(&srcGOF, pSrc, pitch);
-    mvgofUpdate(&refGOF, pRef, pitch);
+    if (!degrain_mode) {
+        const char *src_path = argv[a++], *ref_path = argv[a++];
+        const char *out_path = argv[a++];
+        auto src = read_file(src_path, (size_t)w * h);
+        auto ref = read_file(ref_path, (size_t)w * h);
+        auto sup_src = build_super(src.data(), g, sharp, rfilter);
+        auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        auto out = run_search(sup_src, sup_ref);
+        write_file(out_path, out.data(), out.size());
+        printf("analyse blob %u bytes, %dx%d blocks, %d levels\n",
+               (unsigned)out.size(), nblkx, nblky, levels);
+        return 0;
+    }
 
-    MVArraySizeType size = gopGetArraySize(&gop);
-    std::vector<uint8_t> out(size, 0);
-    gopSearchMVs(&gop, &srcGOF, &refGOF, (SearchType)searchtype,
-                 searchparam, pelsearch, lambda, lsad, pnew, plevel,
-                 global, out.data(), /*fieldShift=*/0, /*DCT=*/nullptr,
-                 /*dctmode=*/0, pzero, pglobal, badsad, badrange, meander,
-                 trymany, (SearchType)coarse);
+    /* degrain1: full Super -> MAnalyse(bwd,fwd) -> MDegrain1 pipeline
+     * (mvdegrainGetFrame MVDegrains.cpp:85-330, radius 1, gray 8-bit,
+     * scalar tier), dumping the denoised frame.  Extra args:
+     *   <thsad> <limit> <thscd1> <thscd2> <src.raw> <refb.raw>
+     *   <reff.raw> <out.raw> [time_iters] */
+    long long thsad_raw = atoll(argv[a++]);
+    int limit = atoi(argv[a++]);
+    long long thscd1 = atoll(argv[a++]);
+    int thscd2 = atoi(argv[a++]);
+    const char *src_path = argv[a++], *refb_path = argv[a++];
+    const char *reff_path = argv[a++], *out_path = argv[a++];
+    int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
 
-    write_file(out_path, out.data(), out.size());
-    printf("analyse blob %u bytes, %dx%d blocks, %d levels\n",
-           (unsigned)size, nblkx, nblky, levels);
+    auto src = read_file(src_path, (size_t)w * h);
+    auto refb = read_file(refb_path, (size_t)w * h);
+    auto reff = read_file(reff_path, (size_t)w * h);
+    auto sup_src = build_super(src.data(), g, sharp, rfilter);
+    auto sup_refb = build_super(refb.data(), g, sharp, rfilter);
+    auto sup_reff = build_super(reff.data(), g, sharp, rfilter);
+    auto vb = run_search(sup_src, sup_refb);
+    auto vf = run_search(sup_src, sup_reff);
 
-    gopDeinit(&gop);
-    mvgofDeinit(&srcGOF);
-    mvgofDeinit(&refGOF);
+    MVAnalysisData ad;
+    memset(&ad, 0, sizeof(ad));
+    ad.nBlkSizeX = blkx;
+    ad.nBlkSizeY = blky;
+    ad.nPel = pel;
+    ad.nLvCount = levels;
+    ad.nOverlapX = ovx;
+    ad.nOverlapY = ovy;
+    ad.nBlkX = nblkx;
+    ad.nBlkY = nblky;
+    ad.nWidth = w;
+    ad.nHeight = h;
+    ad.xRatioUV = g.rx;
+    ad.yRatioUV = g.ry;
+    ad.bitsPerSample = 8;
+
+    /* scaleThSCD (MVAnalysisData.c:7-31; the .c needs a live VSAPI for
+     * adataFromVectorClip so the 4 relevant lines are inlined): gray
+     * 8-bit, no chroma flag */
+    int64_t nSCD1 = thscd1 * (blkx * blky) / 64;
+    nSCD1 = (int64_t)((double)nSCD1 * 255 / 255.0 + 0.5);
+    int nSCD2 = thscd2 * nblkx * nblky / 256;
+    int64_t thSAD_scaled = thsad_raw * nSCD1 / thscd1;
+    const int64_t thSADs[3] = { thSAD_scaled, thSAD_scaled, thSAD_scaled };
+
+    FakeGroupOfPlanes fgops[2];
+    fgopInit(&fgops[0], &ad);
+    fgopUpdate(&fgops[0], vb.data());
+    fgopInit(&fgops[1], &ad);
+    fgopUpdate(&fgops[1], vf.data());
+    int isUsable[2] = { fgopIsUsable(&fgops[0], nSCD1, nSCD2),
+                        fgopIsUsable(&fgops[1], nSCD1, nSCD2) };
+
+    MVGroupOfFrames gofs[2];
+    MVPlane **pPlanes[2];
+    std::vector<uint8_t> *sup_refs[2] = { &sup_refb, &sup_reff };
+    int pitch3[3] = { g.pitch, 0, 0 };
+    for (int r = 0; r < 2; r++) {
+        mvgofInit(&gofs[r], levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        uint8_t *pR[3] = { sup_refs[r]->data(), nullptr, nullptr };
+        mvgofUpdate(&gofs[r], pR, pitch3);
+        pPlanes[r] = gofs[r].frames[0]->planes;
+    }
+
+    DenoiseFunction DEG = nullptr;
+    if (blkx == 8 && blky == 8) DEG = Degrain_C<1, 8, 8, uint8_t>;
+    else if (blkx == 16 && blky == 16) DEG = Degrain_C<1, 16, 16, uint8_t>;
+    else if (blkx == 32 && blky == 32) DEG = Degrain_C<1, 32, 32, uint8_t>;
+    else if (blkx == 8 && blky == 4) DEG = Degrain_C<1, 8, 4, uint8_t>;
+    else if (blkx == 16 && blky == 8) DEG = Degrain_C<1, 16, 8, uint8_t>;
+    if (!DEG) { fprintf(stderr, "unsupported block size\n"); return 2; }
+
+    int nWidth_B = nblkx * (blkx - ovx) + ovx;
+    int nHeight_B = nblky * (blky - ovy) + ovy;
+    bool overlapped = ovx > 0 || ovy > 0;
+    OverlapWindows ow;
+    OverlapsFunction OVERS = nullptr;
+    int dstTempPitch = ((w + 15) / 16) * 16 * 2;
+    std::vector<uint8_t> DstTemp;
+    std::vector<uint8_t> tmpBlock;
+    if (overlapped) {
+        overInit(&ow, blkx, blky, ovx, ovy);
+        OVERS = selectOverlapsFunction(blkx, blky, 8, /*opt=*/0);
+        DstTemp.resize((size_t)dstTempPitch * h);
+        tmpBlock.resize((size_t)blkx * blky);
+    }
+
+    std::vector<uint8_t> dst(src);   // uncovered regions stay src
+    int reps = time_iters > 0 ? time_iters : 1;
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    for (int rep = 0; rep < reps; rep++) {
+        const uint8_t *pSrcCur = src.data();
+        uint8_t *pDstCur = dst.data();
+        const uint8_t *pSrcFrame[3] = { src.data(), nullptr, nullptr };
+        int nSrcPitch[3] = { w, 0, 0 };
+        if (!overlapped) {
+            for (int by = 0; by < nblky; by++) {
+                int xx = 0;
+                for (int bx = 0; bx < nblkx; bx++) {
+                    int i = by * nblkx + bx;
+                    const uint8_t *pointers[2];
+                    int strides[2];
+                    int WSrc, WRefs[2];
+                    const uint8_t *pSrcCur3[3] = { pSrcCur, nullptr,
+                                                   nullptr };
+                    for (int r = 0; r < 2; r++)
+                        useBlock(pointers[r], strides[r], WRefs[r],
+                                 isUsable[r], &fgops[r], i, pPlanes[r],
+                                 pSrcCur3, xx, nSrcPitch, g.pel == 4 ? 2
+                                 : g.pel == 2 ? 1 : 0, 0, 0, 0, thSADs);
+                    normaliseWeights<1>(WSrc, WRefs);
+                    DEG(pDstCur + xx, w, pSrcCur + xx, w, pointers,
+                        strides, WSrc, WRefs);
+                    xx += blkx;
+                }
+                pDstCur += blky * w;
+                pSrcCur += blky * w;
+            }
+        } else {
+            memset(DstTemp.data(), 0, (size_t)dstTempPitch * nHeight_B);
+            uint8_t *pDstTemp = DstTemp.data();
+            for (int by = 0; by < nblky; by++) {
+                int wby = ((by + nblky - 3) / (nblky - 2)) * 3;
+                int wbx = 0;
+                int xx = 0;
+                for (int bx = 0; bx < nblkx; bx++) {
+                    wbx = bx == nblkx - 1 ? 2 : wbx;
+                    int16_t *winOver = overGetWindow(&ow, wby + wbx);
+                    int i = by * nblkx + bx;
+                    const uint8_t *pointers[2];
+                    int strides[2];
+                    int WSrc, WRefs[2];
+                    const uint8_t *pSrcCur3[3] = { pSrcCur, nullptr,
+                                                   nullptr };
+                    for (int r = 0; r < 2; r++)
+                        useBlock(pointers[r], strides[r], WRefs[r],
+                                 isUsable[r], &fgops[r], i, pPlanes[r],
+                                 pSrcCur3, xx, nSrcPitch, g.pel == 4 ? 2
+                                 : g.pel == 2 ? 1 : 0, 0, 0, 0, thSADs);
+                    normaliseWeights<1>(WSrc, WRefs);
+                    DEG(tmpBlock.data(), blkx, pSrcCur + xx, w, pointers,
+                        strides, WSrc, WRefs);
+                    OVERS(pDstTemp + xx * 2, dstTempPitch,
+                          tmpBlock.data(), blkx, winOver, blkx);
+                    xx += blkx - ovx;
+                    wbx = 1;
+                }
+                pSrcCur += (blky - ovy) * w;
+                pDstTemp += (blky - ovy) * dstTempPitch;
+            }
+            ToPixels_uint16_t_uint8_t(dst.data(), w, DstTemp.data(),
+                                      dstTempPitch, nWidth_B, nHeight_B,
+                                      8);
+        }
+        if (limit < 255)
+            LimitChanges_C<uint8_t>(dst.data(), w, src.data(), w, w, h,
+                                    limit);
+        (void)pSrcFrame;
+    }
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    double ms = ((t1.tv_sec - t0.tv_sec) * 1e3
+                 + (t1.tv_nsec - t0.tv_nsec) / 1e6) / reps;
+
+    write_file(out_path, dst.data(), dst.size());
+    printf("degrain1 %dx%d blk%dx%d ov%d usable %d/%d thSAD %lld "
+           "%.3f ms/frame\n", w, h, blkx, blky, ovx, isUsable[0],
+           isUsable[1], (long long)thSAD_scaled, ms);
+
+    for (int r = 0; r < 2; r++) {
+        mvgofDeinit(&gofs[r]);
+        fgopDeinit(&fgops[r]);
+    }
+    if (overlapped)
+        overDeinit(&ow);
     return 0;
 }

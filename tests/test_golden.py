@@ -134,6 +134,67 @@ def test_golden_overlap_and_blk8(harness, tmp_path):
                   seed=2)
 
 
+@pytest.mark.parametrize("overlap", [0, 8])
+def test_golden_degrain1_frame_bytes(harness, tmp_path, overlap):
+    """Full pipeline golden: the C reference's Super -> MAnalyse
+    (bwd+fwd) -> MDegrain1 (useBlock/DegrainWeight/normaliseWeights/
+    Degrain_C + overlap windows + ToPixels, mvdegrainGetFrame
+    MVDegrains.cpp:85-330) vs our exact-engine pipeline, byte-for-byte
+    on the output frame."""
+    import dataclasses
+    from mvtools_tpu.degrain import DegrainConfig, degrain
+    rng = np.random.default_rng(7 + overlap)
+    w, h = 192, 128
+    src, refb = _frames(rng, w, h)
+    reff = np.clip(np.roll(refb.astype(np.int16), (-2, 4), (0, 1))
+                   + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
+                         search=SearchType.HEX2, searchparam=2,
+                         truemotion=True, chroma=False)
+    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+    thsad, limit, thscd1, thscd2 = 400, 255, 400, 130
+
+    sp, bp, fp, op = (str(tmp_path / n) for n in
+                      ("src.raw", "refb.raw", "reff.raw", "out.raw"))
+    src.tofile(sp)
+    refb.tofile(bp)
+    reff.tofile(fp)
+    m = aspec_b.meta
+    args = [harness, "degrain1", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec_b.search)), str(aspec_b.n_search_param),
+            str(aspec_b.pel_search), str(aspec_b.lambda_),
+            str(aspec_b.lsad), str(aspec_b.pnew), str(aspec_b.plevel),
+            str(int(aspec_b.global_)), str(aspec_b.pzero),
+            str(aspec_b.pglobal), str(aspec_b.badsad),
+            str(aspec_b.badrange), str(int(aspec_b.meander)),
+            str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
+            str(thsad), str(limit), str(thscd1), str(thscd2),
+            sp, bp, fp, op]
+    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    want = np.fromfile(op, np.uint8).reshape(h, w)
+
+    s_src = mvt.build_super([jnp.asarray(src)], sspec)
+    s_refb = mvt.build_super([jnp.asarray(refb)], sspec)
+    s_reff = mvt.build_super([jnp.asarray(reff)], sspec)
+    mv_b = mvt.analyse(s_src, s_refb, aspec_b, engine="exact")
+    mv_f = mvt.analyse(s_src, s_reff, aspec_f, engine="exact")
+    out = degrain([jnp.asarray(src)], [s_refb, s_reff], [mv_b, mv_f],
+                  aspec_b.meta,
+                  DegrainConfig(thsad=thsad, limit=limit, thscd1=thscd1,
+                                thscd2=thscd2))
+    got = np.asarray(out[0]).astype(np.uint8)
+    np.testing.assert_array_equal(got, want, err_msg=r.stdout)
+
+
 def test_golden_super_pyramid_bytes(harness, tmp_path):
     """The C super frame (pad + reduce + refine) vs build_super, byte
     compared level by level through the PlaneSuperOffset layout."""
