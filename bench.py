@@ -8,11 +8,10 @@ DegrainN) on 1080p — BASELINE.json config 4 modulo radius.  Frames are
 processed in batches of MVT_BENCH_B per executable execution (lax.map):
 each frame's super is built once and shared by the analyses that
 reference it, and the device runtime's fixed per-execution cost is
-amortised over the batch.  vs_baseline compares against a stored
-single-CPU-thread measurement of the same pipeline (the reference
-publishes no numbers, BASELINE.md; the stored value is this framework's
-own single-thread CPU throughput of the exact sequential engine, the
-closest available stand-in for the reference's single-thread design).
+amortised over the batch.  vs_baseline compares against the REAL
+reference C code: the same pipeline timed single-thread through the
+compiled scalar-tier harness (tests/golden_harness; the reference
+publishes no numbers of its own, BASELINE.md).
 
 Env knobs: MVT_BENCH_W/H/B/ITERS/BLKSIZE/LEVELS/RADIUS,
 MVT_BENCH_CPU=1 to (re)measure the CPU baseline instead.
@@ -26,15 +25,15 @@ import time
 import numpy as np
 
 # Single-CPU-thread throughput of the REFERENCE C code for this
-# pipeline, derived from the compiled scalar-tier harness
-# (tests/golden_harness, 2026-08-17, this machine's CPU): 1080p super
-# build 21.1ms, analyse <=10ms each, degrain1 overlap-0 1.33ms measured
-# via the harness degrain1 mode -> ~1/(0.0211 + 2*0.010 + 0.0013)
-# ~= 23 frames/s.  The reference's SIMD tiers would be faster still;
-# the scalar tier is what the harness can build (BASELINE.md).  This
-# replaces round 1's stand-in (our own exact engine on XLA CPU, 0.44
-# fps for this pipeline shape; it overstated the speedup ~50x).
-REF_SCALAR_BASELINE_FPS = 23.0
+# pipeline, measured with timed loops in the compiled scalar-tier
+# harness (tests/golden_harness, 2026-08-17, this machine's CPU):
+# 1080p super build 17.4ms, analyse hex2 7.8ms each, degrain1
+# overlap-0 1.33ms -> 1/(0.0174 + 2*0.0078 + 0.0013) ~= 29 frames/s.
+# The reference's SIMD tiers would be faster still; the scalar tier is
+# what the harness can build (BASELINE.md).  This replaces round 1's
+# stand-in (our own exact engine on XLA CPU, 0.44 fps for this
+# pipeline shape; it overstated the speedup ~50x).
+REF_SCALAR_BASELINE_FPS = 29.0
 CPU_BASELINE_FPS = REF_SCALAR_BASELINE_FPS
 
 

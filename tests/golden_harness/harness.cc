@@ -164,14 +164,31 @@ int main(int argc, char **argv) {
     if (!degrain_mode) {
         const char *src_path = argv[a++], *ref_path = argv[a++];
         const char *out_path = argv[a++];
+        int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
         auto src = read_file(src_path, (size_t)w * h);
         auto ref = read_file(ref_path, (size_t)w * h);
+        struct timespec t0, t1;
+        clock_gettime(CLOCK_MONOTONIC, &t0);
         auto sup_src = build_super(src.data(), g, sharp, rfilter);
         auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        clock_gettime(CLOCK_MONOTONIC, &t1);
+        double super_ms = ((t1.tv_sec - t0.tv_sec) * 1e3
+                           + (t1.tv_nsec - t0.tv_nsec) / 1e6) / 2;
         auto out = run_search(sup_src, sup_ref);
+        double search_ms = 0;
+        if (time_iters > 0) {
+            clock_gettime(CLOCK_MONOTONIC, &t0);
+            for (int i = 0; i < time_iters; i++)
+                out = run_search(sup_src, sup_ref);
+            clock_gettime(CLOCK_MONOTONIC, &t1);
+            search_ms = ((t1.tv_sec - t0.tv_sec) * 1e3
+                         + (t1.tv_nsec - t0.tv_nsec) / 1e6) / time_iters;
+        }
         write_file(out_path, out.data(), out.size());
-        printf("analyse blob %u bytes, %dx%d blocks, %d levels\n",
-               (unsigned)out.size(), nblkx, nblky, levels);
+        printf("analyse blob %u bytes, %dx%d blocks, %d levels, "
+               "super %.2f ms, search %.2f ms\n",
+               (unsigned)out.size(), nblkx, nblky, levels, super_ms,
+               search_ms);
         return 0;
     }
 
