@@ -110,7 +110,8 @@ int main(int argc, char **argv) {
     }
 
     bool degrain_mode = !strcmp(mode, "degrain1");
-    if (strcmp(mode, "analyse") && !degrain_mode) {
+    bool comp_mode = !strcmp(mode, "compensate");
+    if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -161,7 +162,7 @@ int main(int argc, char **argv) {
         return out;
     };
 
-    if (!degrain_mode) {
+    if (!degrain_mode && !comp_mode) {
         const char *src_path = argv[a++], *ref_path = argv[a++];
         const char *out_path = argv[a++];
         int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
@@ -189,6 +190,166 @@ int main(int argc, char **argv) {
                "super %.2f ms, search %.2f ms\n",
                (unsigned)out.size(), nblkx, nblky, levels, super_ms,
                search_ms);
+        return 0;
+    }
+
+    if (comp_mode) {
+        /* compensate: Super -> MAnalyse -> MCompensate
+         * (mvcompensateGetFrame MVCompensate.c:98-360, gray 8-bit,
+         * fields off, time=100, scbehavior as given).  Extra args:
+         *   <thsad> <thscd1> <thscd2> <scbehavior> <src.raw> <ref.raw>
+         *   <out.raw> */
+        long long thsad_raw = atoll(argv[a++]);
+        long long thscd1 = atoll(argv[a++]);
+        int thscd2 = atoi(argv[a++]);
+        int scbehavior = atoi(argv[a++]);
+        const char *src_path = argv[a++], *ref_path = argv[a++];
+        const char *out_path = argv[a++];
+
+        auto src = read_file(src_path, (size_t)w * h);
+        auto ref = read_file(ref_path, (size_t)w * h);
+        auto sup_src = build_super(src.data(), g, sharp, rfilter);
+        auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        auto vec = run_search(sup_src, sup_ref);
+
+        MVAnalysisData ad;
+        memset(&ad, 0, sizeof(ad));
+        ad.nBlkSizeX = blkx;
+        ad.nBlkSizeY = blky;
+        ad.nPel = pel;
+        ad.nLvCount = levels;
+        ad.nOverlapX = ovx;
+        ad.nOverlapY = ovy;
+        ad.nBlkX = nblkx;
+        ad.nBlkY = nblky;
+        ad.nWidth = w;
+        ad.nHeight = h;
+        ad.xRatioUV = g.rx;
+        ad.yRatioUV = g.ry;
+        ad.bitsPerSample = 8;
+        int64_t nSCD1 = thscd1 * (blkx * blky) / 64;
+        nSCD1 = (int64_t)((double)nSCD1 * 255 / 255.0 + 0.5);
+        int nSCD2 = thscd2 * nblkx * nblky / 256;
+        int64_t thSAD_c = thsad_raw * nSCD1 / thscd1;
+
+        FakeGroupOfPlanes fgop;
+        fgopInit(&fgop, &ad);
+        fgopUpdate(&fgop, vec.data());
+
+        MVGroupOfFrames srcGOF, refGOF;
+        int pitch3[3] = { g.pitch, 0, 0 };
+        mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        mvgofInit(&refGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        uint8_t *pS[3] = { sup_src.data(), nullptr, nullptr };
+        uint8_t *pR[3] = { sup_ref.data(), nullptr, nullptr };
+        mvgofUpdate(&srcGOF, pS, pitch3);
+        mvgofUpdate(&refGOF, pR, pitch3);
+        MVPlane **pSrcPlanes = srcGOF.frames[0]->planes;
+        MVPlane **pRefPlanes = refGOF.frames[0]->planes;
+
+        int nWidth_B = nblkx * (blkx - ovx) + ovx;
+        int nHeight_B = nblky * (blky - ovy) + ovy;
+        bool overlapped = ovx > 0 || ovy > 0;
+        std::vector<uint8_t> dst((size_t)w * h, 0);
+        const uint8_t *scSrc = scbehavior ? sup_src.data()
+                                          : sup_ref.data();
+        int usable = fgopIsUsable(&fgop, nSCD1, nSCD2);
+        if (usable) {
+            if (!overlapped) {
+                uint8_t *pDstCur = dst.data();
+                for (int by = 0; by < nblky; by++) {
+                    int xx = 0;
+                    for (int bx = 0; bx < nblkx; bx++) {
+                        int i = by * nblkx + bx;
+                        const FakeBlockData *block =
+                            fgopGetBlock(&fgop, 0, i);
+                        int blx, bly;
+                        MVPlane **pPlanes;
+                        if (block->vector.sad < thSAD_c) {
+                            blx = block->x * pel + block->vector.x;
+                            bly = block->y * pel + block->vector.y;
+                            pPlanes = pRefPlanes;
+                        } else {
+                            blx = bx * blkx * pel;
+                            bly = by * blky * pel;
+                            pPlanes = pSrcPlanes;
+                        }
+                        const uint8_t *p =
+                            mvpGetPointer(pPlanes[0], blx, bly);
+                        for (int y = 0; y < blky; y++)
+                            memcpy(pDstCur + xx + y * w,
+                                   p + y * pPlanes[0]->nPitch, blkx);
+                        xx += blkx;
+                    }
+                    pDstCur += blky * w;
+                }
+            } else {
+                OverlapWindows ow;
+                overInit(&ow, blkx, blky, ovx, ovy);
+                OverlapsFunction OVERS =
+                    selectOverlapsFunction(blkx, blky, 8, 0);
+                int dstTempPitch = ((w + 15) / 16) * 16 * 2;
+                std::vector<uint8_t> DstTemp((size_t)dstTempPitch * h);
+                memset(DstTemp.data(), 0,
+                       (size_t)dstTempPitch * nHeight_B);
+                uint8_t *pDstTemp = DstTemp.data();
+                for (int by = 0; by < nblky; by++) {
+                    int wby = ((by + nblky - 3) / (nblky - 2)) * 3;
+                    int wbx = 0;
+                    int xx = 0;
+                    for (int bx = 0; bx < nblkx; bx++) {
+                        wbx = bx == nblkx - 1 ? 2 : wbx;
+                        int16_t *winOver = overGetWindow(&ow, wby + wbx);
+                        int i = by * nblkx + bx;
+                        const FakeBlockData *block =
+                            fgopGetBlock(&fgop, 0, i);
+                        int blx, bly;
+                        MVPlane **pPlanes;
+                        if (block->vector.sad < thSAD_c) {
+                            blx = block->x * pel + block->vector.x;
+                            bly = block->y * pel + block->vector.y;
+                            pPlanes = pRefPlanes;
+                        } else {
+                            blx = bx * (blkx - ovx) * pel;
+                            bly = by * (blky - ovy) * pel;
+                            pPlanes = pSrcPlanes;
+                        }
+                        OVERS(pDstTemp + xx * 2, dstTempPitch,
+                              mvpGetPointer(pPlanes[0], blx, bly),
+                              pPlanes[0]->nPitch, winOver, blkx);
+                        xx += blkx - ovx;
+                        wbx = 1;
+                    }
+                    pDstTemp += dstTempPitch * (blky - ovy);
+                }
+                ToPixels_uint16_t_uint8_t(dst.data(), w, DstTemp.data(),
+                                          dstTempPitch, nWidth_B,
+                                          nHeight_B, 8);
+                overDeinit(&ow);
+            }
+            // non-covered regions from the (un-shifted) super plane
+            if (nWidth_B < w)
+                for (int y = 0; y < nHeight_B; y++)
+                    memcpy(dst.data() + y * w + nWidth_B,
+                           scSrc + (y + vpad) * g.pitch + nWidth_B
+                               + hpad, w - nWidth_B);
+            if (nHeight_B < h)
+                for (int y = nHeight_B; y < h; y++)
+                    memcpy(dst.data() + y * w,
+                           scSrc + (y + vpad) * g.pitch + hpad, w);
+        } else {
+            for (int y = 0; y < h; y++)
+                memcpy(dst.data() + y * w,
+                       scSrc + (y + vpad) * g.pitch + hpad, w);
+        }
+        write_file(out_path, dst.data(), dst.size());
+        printf("compensate %dx%d blk%d ov%d usable %d thSAD %lld\n",
+               w, h, blkx, ovx, usable, (long long)thSAD_c);
+        fgopDeinit(&fgop);
+        mvgofDeinit(&srcGOF);
+        mvgofDeinit(&refGOF);
         return 0;
     }
 

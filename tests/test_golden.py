@@ -195,6 +195,63 @@ def test_golden_degrain1_frame_bytes(harness, tmp_path, overlap):
     np.testing.assert_array_equal(got, want, err_msg=r.stdout)
 
 
+@pytest.mark.parametrize("overlap,scbehavior", [(0, True), (8, False)])
+def test_golden_compensate_frame_bytes(harness, tmp_path, overlap,
+                                       scbehavior):
+    """Full pipeline golden: the C reference's Super -> MAnalyse ->
+    MCompensate (mvcompensateGetFrame MVCompensate.c:98-360: per-block
+    blit/overlap-add from the ref super with the src-super fallback when
+    SAD >= thSAD, uncovered margins from scSrc) vs our compensate(),
+    byte-for-byte.  thsad is set low enough that some blocks take the
+    occlusion fallback path."""
+    import dataclasses
+    from mvtools_tpu.compensate import CompensateConfig, compensate
+    rng = np.random.default_rng(11 + overlap)
+    w, h = 192, 128
+    src, ref = _frames(rng, w, h)
+    # occlude a region so several blocks exceed thsad and fall back
+    ref[40:72, 60:108] = 255 - ref[40:72, 60:108]
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
+                         search=SearchType.HEX2, searchparam=2,
+                         truemotion=True, chroma=False)
+    aspec = acfg.validate(sspec)
+    thsad, thscd1, thscd2 = 300, 400, 130
+
+    sp, rp, op = (str(tmp_path / n) for n in
+                  ("src.raw", "ref.raw", "out.raw"))
+    src.tofile(sp)
+    ref.tofile(rp)
+    m = aspec.meta
+    args = [harness, "compensate", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec.search)), str(aspec.n_search_param),
+            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
+            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
+            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
+            str(aspec.badrange), str(int(aspec.meander)),
+            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
+            str(thsad), str(thscd1), str(thscd2), str(int(scbehavior)),
+            sp, rp, op]
+    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    want = np.fromfile(op, np.uint8).reshape(h, w)
+
+    s_src = mvt.build_super([jnp.asarray(src)], sspec)
+    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    out = compensate(s_src, s_ref, mv, aspec.meta,
+                     CompensateConfig(scbehavior=scbehavior, thsad=thsad,
+                                      thscd1=thscd1, thscd2=thscd2))
+    got = np.asarray(out[0]).astype(np.uint8)
+    np.testing.assert_array_equal(got, want, err_msg=r.stdout)
+
+
 def test_golden_super_pyramid_bytes(harness, tmp_path):
     """The C super frame (pad + reduce + refine) vs build_super, byte
     compared level by level through the PlaneSuperOffset layout."""
