@@ -132,6 +132,8 @@ int main(int argc, char **argv) {
     int nblkx = (w - ovx) / (blkx - ovx);
     int nblky = (h - ovy) / (blky - ovy);
 
+    int field_shift = 0;   // analyse mode: optional trailing arg
+
     auto run_search = [&](std::vector<uint8_t> &sup_src,
                           std::vector<uint8_t> &sup_ref) {
         GroupOfPlanes gop;
@@ -152,7 +154,7 @@ int main(int argc, char **argv) {
         std::vector<uint8_t> out(size, 0);
         gopSearchMVs(&gop, &srcGOF, &refGOF, (SearchType)searchtype,
                      searchparam, pelsearch, lambda, lsad, pnew, plevel,
-                     global, out.data(), /*fieldShift=*/0,
+                     global, out.data(), field_shift,
                      /*DCT=*/nullptr, /*dctmode=*/0, pzero, pglobal,
                      badsad, badrange, meander, trymany,
                      (SearchType)coarse);
@@ -166,6 +168,7 @@ int main(int argc, char **argv) {
         const char *src_path = argv[a++], *ref_path = argv[a++];
         const char *out_path = argv[a++];
         int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
+        field_shift = (a < argc) ? atoi(argv[a++]) : 0;
         auto src = read_file(src_path, (size_t)w * h);
         auto ref = read_file(ref_path, (size_t)w * h);
         struct timespec t0, t1;

@@ -47,7 +47,8 @@ def _frames(rng, w, h):
     return src, ref
 
 
-def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec):
+def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec,
+                 field_shift=0):
     h, w = src.shape
     sp = str(tmp_path / "src.raw")
     rp = str(tmp_path / "ref.raw")
@@ -67,24 +68,28 @@ def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec):
             str(int(aspec.global_)), str(aspec.pzero), str(aspec.pglobal),
             str(aspec.badsad), str(aspec.badrange),
             str(int(aspec.meander)), str(int(aspec.trymany)),
-            str(int(aspec.search_coarse)), sp, rp, op]
+            str(int(aspec.search_coarse)), sp, rp, op,
+            "0", str(field_shift)]
     r = subprocess.run(args, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
     with open(op, "rb") as f:
         return f.read()
 
 
-def _check_config(harness, tmp_path, w, h, scfg, acfg, seed):
+def _check_config(harness, tmp_path, w, h, scfg, acfg, seed,
+                  field_shift=0):
     rng = np.random.default_rng(seed)
     src, ref = _frames(rng, w, h)
     fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
     sspec = scfg.validate(fmt)
     aspec = acfg.validate(sspec)
-    blob = _golden_blob(harness, tmp_path, src, ref, sspec, aspec)
+    blob = _golden_blob(harness, tmp_path, src, ref, sspec, aspec,
+                        field_shift=field_shift)
 
     s_src = mvt.build_super([jnp.asarray(src)], sspec)
     s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact",
+                     field_shift=field_shift)
 
     # field-level parity first (better failure messages than raw bytes)
     want = decode_mv_field(blob, aspec.meta)
@@ -122,6 +127,44 @@ def test_golden_config2_hierarchical_hex_pel4(harness, tmp_path):
                                 search=SearchType.HEX2, searchparam=2,
                                 truemotion=True, chroma=False),
                   seed=1)
+
+
+@pytest.mark.parametrize("search,param", [
+    (SearchType.ONETIME, 2), (SearchType.NSTEP, 2),
+    (SearchType.LOGARITHMIC, 2), (SearchType.UMH, 4),
+    (SearchType.HORIZONTAL, 3), (SearchType.VERTICAL, 3)])
+def test_golden_search_types(harness, tmp_path, search, param):
+    """Every remaining search algorithm (PlaneOfBlocks.cpp Search
+    dispatch) byte-exact against the compiled reference."""
+    _check_config(harness, tmp_path, 192, 128,
+                  SuperConfig(pel=2, levels=0, chroma=False),
+                  AnalyseConfig(blksize=16, levels=0, search=search,
+                                searchparam=param, truemotion=True,
+                                chroma=False),
+                  seed=int(search) + 10)
+
+
+def test_golden_trymany_no_meander(harness, tmp_path):
+    """trymany=True coarse-level multi-candidate search + meander=False
+    raster order (GroupOfPlanes.c:110-126)."""
+    _check_config(harness, tmp_path, 192, 128,
+                  SuperConfig(pel=2, levels=0, chroma=False),
+                  AnalyseConfig(blksize=8, levels=0,
+                                search=SearchType.HEX2, searchparam=2,
+                                truemotion=True, chroma=False,
+                                trymany=True, meander=False),
+                  seed=21)
+
+
+def test_golden_field_shift(harness, tmp_path):
+    """Non-zero fieldShift threaded through the whole level loop
+    (GroupOfPlanes.c:93 fieldShiftCur, MVAnalyse.c:176-179)."""
+    _check_config(harness, tmp_path, 192, 128,
+                  SuperConfig(pel=2, levels=0, chroma=False),
+                  AnalyseConfig(blksize=16, levels=0,
+                                search=SearchType.HEX2, searchparam=2,
+                                truemotion=True, chroma=False),
+                  seed=22, field_shift=1)
 
 
 def test_golden_overlap_and_blk8(harness, tmp_path):
