@@ -111,7 +111,9 @@ int main(int argc, char **argv) {
 
     bool degrain_mode = !strcmp(mode, "degrain1");
     bool comp_mode = !strcmp(mode, "compensate");
-    if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode) {
+    bool recalc_mode = !strcmp(mode, "recalculate");
+    if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
+        && !recalc_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -163,6 +165,84 @@ int main(int argc, char **argv) {
         mvgofDeinit(&refGOF);
         return out;
     };
+
+    if (recalc_mode) {
+        /* recalculate: Super -> MAnalyse -> MRecalculate
+         * (mvrecalculateGetFrame MVRecalculate.c:98-260: fgop from the
+         * analyse blob, a fresh 1-level GroupOfPlanes at the recalc
+         * block geometry, gopRecalculateMVs).  Extra args:
+         *   <rblkx> <rblky> <rovx> <rovy> <rsearch> <rsearchparam>
+         *   <rlambda> <rpnew> <rthsad> <rsmooth> <src.raw> <ref.raw>
+         *   <out_vectors.bin> */
+        int rblkx = atoi(argv[a++]), rblky = atoi(argv[a++]);
+        int rovx = atoi(argv[a++]), rovy = atoi(argv[a++]);
+        int rsearch = atoi(argv[a++]), rsearchparam = atoi(argv[a++]);
+        int rlambda = atoi(argv[a++]), rpnew = atoi(argv[a++]);
+        long long rthsad = atoll(argv[a++]);
+        int rsmooth = atoi(argv[a++]);
+        const char *src_path = argv[a++], *ref_path = argv[a++];
+        const char *out_path = argv[a++];
+
+        auto src = read_file(src_path, (size_t)w * h);
+        auto ref = read_file(ref_path, (size_t)w * h);
+        auto sup_src = build_super(src.data(), g, sharp, rfilter);
+        auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        auto vec = run_search(sup_src, sup_ref);
+
+        MVAnalysisData ad;   // the ANALYSE stage's data, for the fgop
+        memset(&ad, 0, sizeof(ad));
+        ad.nBlkSizeX = blkx;
+        ad.nBlkSizeY = blky;
+        ad.nPel = pel;
+        ad.nLvCount = levels;
+        ad.nOverlapX = ovx;
+        ad.nOverlapY = ovy;
+        ad.nBlkX = nblkx;
+        ad.nBlkY = nblky;
+        ad.nWidth = w;
+        ad.nHeight = h;
+        ad.xRatioUV = g.rx;
+        ad.yRatioUV = g.ry;
+        ad.bitsPerSample = 8;
+        FakeGroupOfPlanes fgop;
+        fgopInit(&fgop, &ad);
+        fgopUpdate(&fgop, vec.data());
+
+        int rnblkx = (w - rovx) / (rblkx - rovx);
+        int rnblky = (h - rovy) / (rblky - rovy);
+        GroupOfPlanes gop;
+        gopInit(&gop, rblkx, rblky, /*levels=*/1, pel, /*motionFlags=*/0,
+                /*cpuFlags=*/0, rovx, rovy, rnblkx, rnblky, g.rx, g.ry,
+                /*divideExtra=*/0, /*bitsPerSample=*/8);
+        MVGroupOfFrames srcGOF, refGOF;
+        mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        mvgofInit(&refGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                  g.rx, g.ry, 8);
+        uint8_t *pS[3] = { sup_src.data(), nullptr, nullptr };
+        uint8_t *pR[3] = { sup_ref.data(), nullptr, nullptr };
+        int pitch3[3] = { g.pitch, 0, 0 };
+        mvgofUpdate(&srcGOF, pS, pitch3);
+        mvgofUpdate(&refGOF, pR, pitch3);
+
+        /* thSAD scaling (MVRecalculate.c:489-496): 8-bit gray, recalc
+         * block size */
+        int64_t thSAD = rthsad * (rblkx * rblky) / 64;
+        std::vector<uint8_t> out(gopGetArraySize(&gop), 0);
+        gopRecalculateMVs(&gop, &fgop, &srcGOF, &refGOF,
+                          (SearchType)rsearch, rsearchparam, rlambda,
+                          rpnew, out.data(), /*fieldShift=*/0, thSAD,
+                          /*DCT=*/nullptr, /*dctmode=*/0, rsmooth,
+                          meander);
+        write_file(out_path, out.data(), out.size());
+        printf("recalculate blob %u bytes, %dx%d blocks, thSAD %lld\n",
+               (unsigned)out.size(), rnblkx, rnblky, (long long)thSAD);
+        gopDeinit(&gop);
+        fgopDeinit(&fgop);
+        mvgofDeinit(&srcGOF);
+        mvgofDeinit(&refGOF);
+        return 0;
+    }
 
     if (!degrain_mode && !comp_mode) {
         const char *src_path = argv[a++], *ref_path = argv[a++];

@@ -238,6 +238,68 @@ def test_golden_degrain1_frame_bytes(harness, tmp_path, overlap):
     np.testing.assert_array_equal(got, want, err_msg=r.stdout)
 
 
+@pytest.mark.parametrize("rblk,rov,smooth", [(8, 0, 1), (8, 4, 0)])
+def test_golden_recalculate_blob(harness, tmp_path, rblk, rov, smooth):
+    """MRecalculate golden: the C reference's Super -> MAnalyse ->
+    gopRecalculateMVs (pobRecalculateMVs PlaneOfBlocks.cpp:1158-1424,
+    blk16 field refined onto a finer recalc grid) vs our
+    recalculate(engine="exact"), byte-for-byte on the vectors blob."""
+    from mvtools_tpu.recalculate import RecalculateConfig, recalculate
+    rng = np.random.default_rng(31 + rblk + rov)
+    w, h = 192, 128
+    src, ref = _frames(rng, w, h)
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+    acfg = AnalyseConfig(blksize=16, levels=0, search=SearchType.HEX2,
+                         searchparam=2, truemotion=True, chroma=False)
+    aspec = acfg.validate(sspec)
+    rcfg = RecalculateConfig(blksize=rblk, overlap=rov, thsad=200,
+                             smooth=smooth, chroma=False, truemotion=True)
+    rspec = rcfg.to_analyse_config().validate(sspec)
+
+    sp, rp, op = (str(tmp_path / n) for n in
+                  ("src.raw", "ref.raw", "vec.bin"))
+    src.tofile(sp)
+    ref.tofile(rp)
+    m = aspec.meta
+    args = [harness, "recalculate", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec.search)), str(aspec.n_search_param),
+            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
+            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
+            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
+            str(aspec.badrange), str(int(aspec.meander)),
+            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
+            str(rspec.meta.blk_size_x), str(rspec.meta.blk_size_y),
+            str(rspec.meta.overlap_x), str(rspec.meta.overlap_y),
+            str(int(rspec.search)), str(rspec.n_search_param),
+            str(rspec.lambda_), str(rspec.pnew), str(rcfg.thsad),
+            str(rcfg.smooth), sp, rp, op]
+    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    with open(op, "rb") as f:
+        blob = f.read()
+
+    s_src = mvt.build_super([jnp.asarray(src)], sspec)
+    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    mv2 = recalculate(s_src, s_ref, mv, rspec, rcfg, engine="exact")
+
+    want = decode_mv_field(blob, mv2.meta)
+    np.testing.assert_array_equal(np.asarray(mv2.levels[0].x),
+                                  np.asarray(want.levels[0].x), err_msg="x")
+    np.testing.assert_array_equal(np.asarray(mv2.levels[0].y),
+                                  np.asarray(want.levels[0].y), err_msg="y")
+    np.testing.assert_array_equal(np.asarray(mv2.levels[0].sad),
+                                  np.asarray(want.levels[0].sad),
+                                  err_msg="sad")
+    assert encode_mv_field(mv2) == blob
+
+
 @pytest.mark.parametrize("overlap,scbehavior", [(0, True), (8, False)])
 def test_golden_compensate_frame_bytes(harness, tmp_path, overlap,
                                        scbehavior):
