@@ -1043,7 +1043,12 @@ class DenseEvaluator:
         self.rel_x_c = (xc_a - hpad_c).reshape(-1)
 
     def _block_sums(self, diff, bs, ov, nb, rel_y, rel_x):
-        """Per-block sums of `diff` [hr, wr] -> [nblk] int64."""
+        """Per-block sums of `diff` [hr, wr] -> [nblk] int64.
+
+        Block origins form a regular grid, so the integral-image corner
+        reads of the overlapped path are STRIDED SLICES, not gathers (a
+        TPU gather costs ~1.4us per offset row — ~ms per call at 1080p
+        overlap-8 block counts)."""
         bsx, bsy = bs
         ovx, ovy = ov
         nbx, nby = nb
@@ -1051,13 +1056,21 @@ class DenseEvaluator:
             s = diff.reshape(nby, bsy, nbx, bsx).sum(axis=(1, 3),
                                                      dtype=jnp.int64)
             return s.reshape(-1)
+        sy, sx = bsy - ovy, bsx - ovx
         integ = jnp.pad(jnp.cumsum(jnp.cumsum(
             diff.astype(jnp.int64), axis=0), axis=1), ((1, 0), (1, 0)))
-        tl = integ[rel_y, rel_x]
-        tr = integ[rel_y, rel_x + bsx]
-        bl = integ[rel_y + bsy, rel_x]
-        br = integ[rel_y + bsy, rel_x + bsx]
-        return br - bl - tr + tl
+
+        def corners(oy, ox):
+            return jax.lax.slice(
+                integ, (oy, ox),
+                (oy + (nby - 1) * sy + 1, ox + (nbx - 1) * sx + 1),
+                (sy, sx))
+
+        tl = corners(0, 0)
+        tr = corners(0, bsx)
+        bl = corners(bsy, 0)
+        br = corners(bsy, bsx)
+        return (br - bl - tr + tl).reshape(-1)
 
     def luma_sads(self, vx, vy):
         """[nblk] int64 luma SAD at the uniform pel-units displacement
@@ -1293,6 +1306,32 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
     else:
         src_luma_blocks = None
 
+    # static per-row scan direction mask for the grid-shift predictor
+    # fetch ([nby, 1] bool: True = raster order, i.e. predecessor left)
+    if meander:
+        fwd_row = (np.arange(nby) % 2 == 0)[:, None]
+    else:
+        fwd_row = np.ones((nby, 1), bool)
+
+    def _nbr(a, dy_n: int, signed_dx: int):
+        """[nblk] value at grid neighbour (by + dy_n,
+        bx + scan_dir*signed_dx) as pad+slice shifts (a TPU gather costs
+        ~1.4us per offset row; shifts are free).  Out-of-grid entries
+        carry arbitrary values — callers mask them."""
+        a2 = a.reshape(nby, nbx)
+        pad = jnp.pad(a2, ((1, 1), (1, 1)))
+
+        def at(dy2, dx2):
+            return jax.lax.slice(pad, (1 + dy2, 1 + dx2),
+                                 (1 + dy2 + nby, 1 + dx2 + nbx))
+
+        if signed_dx == 0:
+            out = at(dy_n, 0)
+        else:
+            out = jnp.where(jnp.asarray(fwd_row), at(dy_n, signed_dx),
+                            at(dy_n, -signed_dx))
+        return out.reshape(-1)
+
     def predictors_from(vx_a, vy_a, vs_a):
         """Jacobi neighbour predictors, meander-aware layout
         (pobFetchPredictors PlaneOfBlocks.cpp:419-463)."""
@@ -1301,27 +1340,24 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                     jnp.clip(y, dymin_a, dymax_a - 1))
 
         left_ok = jnp.where(scan_dir_a == 1, blkx_a > 0, blkx_a < nbx - 1)
-        li = jnp.clip(idx - scan_dir_a, 0, nblk - 1)
-        p1x, p1y = clip(jnp.where(left_ok, vx_a[li], 0),
-                        jnp.where(left_ok, vy_a[li], zs_y))
-        p1s = jnp.where(left_ok, vs_a[li], _i64(0))
+        p1x, p1y = clip(jnp.where(left_ok, _nbr(vx_a, 0, -1), 0),
+                        jnp.where(left_ok, _nbr(vy_a, 0, -1), zs_y))
+        p1s = jnp.where(left_ok, _nbr(vs_a, 0, -1), _i64(0))
 
         up_ok = blky_a > 0
-        ui = jnp.clip(idx - nbx, 0, nblk - 1)
-        p2x, p2y = clip(jnp.where(up_ok, vx_a[ui], 0),
-                        jnp.where(up_ok, vy_a[ui], zs_y))
-        p2s = jnp.where(up_ok, vs_a[ui], _i64(0))
+        p2x, p2y = clip(jnp.where(up_ok, _nbr(vx_a, -1, 0), 0),
+                        jnp.where(up_ok, _nbr(vy_a, -1, 0), zs_y))
+        p2s = jnp.where(up_ok, _nbr(vs_a, -1, 0), _i64(0))
 
         x_ok = jnp.where(scan_dir_a == 1, blkx_a < nbx - 1, blkx_a > 0)
         br_ok = (blky_a < nby - 1) & x_ok
         ur_ok = up_ok & x_ok
-        bi = jnp.clip(idx + nbx + scan_dir_a, 0, nblk - 1)
-        uri = jnp.clip(idx - nbx + scan_dir_a, 0, nblk - 1)
-        p3x_raw = jnp.where(br_ok, vx_a[bi], jnp.where(ur_ok, vx_a[uri], 0))
-        p3y_raw = jnp.where(br_ok, vy_a[bi],
-                            jnp.where(ur_ok, vy_a[uri], zs_y))
-        p3s = jnp.where(br_ok, vs_a[bi],
-                        jnp.where(ur_ok, vs_a[uri], _i64(0)))
+        p3x_raw = jnp.where(br_ok, _nbr(vx_a, 1, 1),
+                            jnp.where(ur_ok, _nbr(vx_a, -1, 1), 0))
+        p3y_raw = jnp.where(br_ok, _nbr(vy_a, 1, 1),
+                            jnp.where(ur_ok, _nbr(vy_a, -1, 1), zs_y))
+        p3s = jnp.where(br_ok, _nbr(vs_a, 1, 1),
+                        jnp.where(ur_ok, _nbr(vs_a, -1, 1), _i64(0)))
         p3x, p3y = clip(p3x_raw, p3y_raw)
 
         p0x = jnp.where(up_ok, _median3(p1x, p2x, p3x), p1x)
@@ -1361,6 +1397,12 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                                dctmode=dctmode, src_luma=src_luma_a,
                                dctweight16=dctweight16,
                                dct_src=dct_src_blocks)
+        # dense tile-level SAD maps (ops/sadmap.py): for plain-SAD
+        # search the per-candidate probes collapse into one map-kernel
+        # pass per plane; every check() becomes a pure XLA lookup
+        import os as _os
+        use_map = (dctmode == 0 and _os.environ.get("MVT_SADMAP", "1")
+                   != "0" and fe.map_supported(ctx, fe.map_radius(ctx)))
         vx_a, vy_a, vs_a = vectors_in
         for it in range(iters):
             p0, p1, p2, p3 = predictors_from(vx_a, vy_a, vs_a)
@@ -1372,12 +1414,20 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
             scale = lsad_f / (lsad_f + (prs >> 1).astype(jnp.float64))
             lam_a = ((lam0_a.astype(jnp.float64) * scale)
                      * scale).astype(I64)
+            if use_map:
+                p_it = fe.MapProber(ctx, src_blocks, src_u_blocks,
+                                    src_v_blocks, x0_a, y0_a, xc_a,
+                                    yc_a, bounds, pnew,
+                                    pred_vx=prx, pred_vy=pry)
+            else:
+                p_it = prober
             # the bad-SAD rescue runs once per reference block pass;
             # intermediate Jacobi sweeps skip it
-            st = fe.field_epz(prober, dense, level_params, zs_y,
+            st = fe.field_epz(p_it, dense, level_params, zs_y,
                               gx_scaled, gy_scaled, (prx, pry, prs),
                               (p0[:2], p1, p2, p3), lam_a, idx,
-                              do_rescue=(it == iters - 1))
+                              do_rescue=(it == iters - 1),
+                              probe_p=prober)
             vx_a, vy_a, vs_a = st["bx"], st["by"], st["bsad"]
         if smallest:
             ref0_blocks = blocks_of(ctx.ref_stacks[0][0], vpad, hpad,

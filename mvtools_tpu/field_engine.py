@@ -358,6 +358,303 @@ class FieldProber:
         return ls, cs
 
 
+def _map_tile(ctx) -> int:
+    """Blocks per map tile: fill ~one 128-lane span."""
+    bsx = ctx.blk_size[0]
+    pitch = bsx - ctx.overlap[0]
+    t = max(2, min(32, (128 - bsx) // max(1, pitch) + 1))
+    return min(t, ctx.nblk[0])
+
+
+def map_radius(ctx) -> int:
+    """Default pel-grid radius: walk drift (hex2 range + ring) plus the
+    anchor's alignment rounding loss."""
+    env = os.environ.get("MVT_MAP_R")
+    if env:
+        return int(env)
+    logx, logy = ctx.log_ratio_uv
+    align = 1 << (ctx.log_pel + (max(logx, logy) if ctx.chroma else 0))
+    return 8 + align // 2
+
+
+def map_supported(ctx, r: int) -> bool:
+    """Static predicate: MapProber usable on this level's geometry
+    (8-bit data, windows fit the padded stacks, chroma pitch integral).
+    dctmode gating is the caller's (maps hold plain SADs only)."""
+    from .ops import sadmap
+    if ctx.bits != 8:
+        return False
+    if ctx.pel > 2:
+        # the pel-4 hex2 walk drifts up to ~11 pel from its start, past
+        # any affordable grid radius (measured: rotation parity 1.039 at
+        # r=10 vs the 1.02 gate); the window probes stay in charge there
+        return False
+    bsx, bsy = ctx.blk_size
+    pitch = bsx - ctx.overlap[0]
+    tile = _map_tile(ctx)
+    hp = ctx.padded[1] + 2 * FieldProber.PAD + probe_ops.ALIGN_SLACK_Y
+    wp = ctx.padded[0] + 2 * FieldProber.PAD + probe_ops.ALIGN_SLACK_X
+    (lo_y, hi_y), (lo_x, hi_x) = sadmap.anchor_bounds(
+        r, r, bsy, bsx, ctx.pel, tile, pitch, hp, wp)
+    if hi_y < lo_y or hi_x < lo_x:
+        return False
+    if ctx.chroma:
+        logx, logy = ctx.log_ratio_uv
+        if pitch % (1 << logx) != 0:
+            return False
+        bcx, bcy = ctx.blk_size_c
+        rc_y = (r >> logy) + 1
+        rc_x = (r >> logx) + 1
+        padc = max(FieldProber.PAD >> logx, FieldProber.PAD >> logy, 4)
+        hp_c = (ctx.padded[1] >> logy) + 2 * padc + probe_ops.ALIGN_SLACK_Y
+        wp_c = (ctx.padded[0] >> logx) + 2 * padc + probe_ops.ALIGN_SLACK_X
+        (lo, hi), (lo2, hi2) = sadmap.anchor_bounds(
+            rc_y, rc_x, bcy, bcx, ctx.pel, tile, pitch >> logx, hp_c,
+            wp_c)
+        if hi < lo or hi2 < lo2:
+            return False
+    return True
+
+
+def _med3_tiles(a, nby, ntx, tile):
+    """[nblk(row-padded to ntx*tile)] -> per-tile med3 of the first,
+    middle and last entry, [nby*ntx]."""
+    t = a.reshape(nby, ntx, tile)
+    return probe_ops._med3(t[:, :, 0], t[:, :, tile // 2],
+                           t[:, :, tile - 1]).reshape(-1)
+
+
+def _row_pad(a, nby, nbx, rlp):
+    """Edge-pad each block row of a [nby*nbx, ...] array to rlp."""
+    if rlp == nbx:
+        return a
+    t = a.reshape((nby, nbx) + a.shape[1:])
+    pad = [(0, 0), (0, rlp - nbx)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(t, pad, mode="edge").reshape((nby * rlp,)
+                                                + a.shape[1:])
+
+
+class MapProber(FieldProber):
+    """FieldProber whose SAD source is a dense per-block offset map
+    (ops/sadmap.py) instead of per-candidate window probes.
+
+    One SAD-map kernel pass per plane per level evaluates the whole
+    +-R pel grid around a per-tile predictor anchor; every check()
+    thereafter — predictor trials, the hex2/UMH walks, expanding rings
+    — is a pure one-hot lookup with no DMA at all.  Candidates outside
+    the grid report INVALID_SAD and lose (the dense zero trial bounds
+    every block); the bad-SAD rescue keeps using a probe-based prober
+    via field_epz's probe_p argument.  Plain-SAD (dctmode 0) only."""
+
+    def __init__(self, ctx, src_blocks, src_u_blocks, src_v_blocks,
+                 x0_a, y0_a, xc_a, yc_a, bounds, pnew, pred_vx, pred_vy,
+                 r: int = 0):
+        super().__init__(ctx, src_blocks, src_u_blocks, src_v_blocks,
+                         x0_a, y0_a, xc_a, yc_a, bounds, pnew)
+        from .ops import sadmap
+        if not r:
+            r = map_radius(ctx)
+        self.r = r
+        logp = self.logp
+        pel = self.pel
+        logx, logy = ctx.log_ratio_uv
+        logx_e = logx if ctx.chroma else 0
+        logy_e = logy if ctx.chroma else 0
+        bsx, bsy = ctx.blk_size
+        nbx, nby = ctx.nblk
+        pitch = self.pitch_x
+        pitch_y = bsy - ctx.overlap[1]
+        tile = _map_tile(ctx)
+        rlp = -(-nbx // tile) * tile
+        ntx = rlp // tile
+        hpad, hpad_c = ctx.hpad
+        vpad, vpad_c = ctx.vpad
+        PAD = self.PAD
+
+        # ---- anchors: per-tile med3 of the predictor field, aligned so
+        # every derived plane anchor is full-pel, clamped so the window
+        # DMA fits the padded stack
+        pvx = _row_pad(jnp.asarray(pred_vx, I32), nby, nbx, rlp)
+        pvy = _row_pad(jnp.asarray(pred_vy, I32), nby, nbx, rlp)
+        med_x = _med3_tiles(pvx, nby, ntx, tile)       # [ntile]
+        med_y = _med3_tiles(pvy, nby, ntx, tile)
+        sh_x = logp + logx_e
+        sh_y = logp + logy_e
+        # static block-0 source origins per tile column / block row and
+        # their probe-padded window-coordinate counterparts
+        s_x = hpad + pitch * tile * np.arange(ntx, dtype=np.int32)
+        s_y = vpad + pitch_y * np.arange(nby, dtype=np.int32)
+        c_x = s_x + PAD
+        c_y = s_y + PAD
+        hp, wp = self.stack.shape[1], self.stack.shape[2]
+        (lo_y, hi_y), (lo_x, hi_x) = sadmap.anchor_bounds(
+            r, r, bsy, bsx, pel, tile, pitch, hp, wp)
+
+        def clamp_align(av, c, lo, hi, sh):
+            """Clamp the pel-units anchor so fp = c + (av >> logp) lands
+            in [lo, hi], stepping only in 2^sh units."""
+            s = 1 << sh
+            lo_v = -(-((lo - c) << logp) // s) * s          # ceil-align
+            hi_v = (((hi - c) << logp) // s) * s            # floor-align
+            return jnp.clip(av, jnp.asarray(lo_v, I32),
+                            jnp.asarray(hi_v, I32))
+
+        av_x = ((med_x >> sh_x) << sh_x).reshape(nby, ntx)
+        av_y = ((med_y >> sh_y) << sh_y).reshape(nby, ntx)
+        av_x = clamp_align(av_x, c_x[None, :], lo_x, hi_x,
+                           sh_x).reshape(-1)               # [ntile] pel
+        av_y = clamp_align(av_y, c_y[:, None], lo_y, hi_y,
+                           sh_y).reshape(-1)
+        af_x = (jnp.tile(jnp.asarray(c_x, I32), nby)
+                + (av_x >> logp))                          # [ntile] fp
+        af_y = (jnp.repeat(jnp.asarray(c_y, I32), ntx)
+                + (av_y >> logp))
+
+        def per_block(a_tile):
+            t = jnp.repeat(a_tile.reshape(nby, ntx), tile, axis=1)
+            return t[:, :nbx].reshape(-1)
+
+        self._av_x = per_block(av_x)                       # [nblk] pel
+        self._av_y = per_block(av_y)
+
+        def spans_of(plane, y0s, x0s, bh, span_pad):
+            """[ntile, bh, span_pad] spans by static slices (tail tiles
+            read edge padding; only their padded blocks see it)."""
+            padr = max(0, int(x0s[-1]) + span_pad - plane.shape[1])
+            if padr:
+                plane = jnp.pad(plane, ((0, 0), (0, padr)), mode="edge")
+            rows = jnp.stack([
+                jax.lax.slice(plane, (int(y), 0),
+                              (int(y) + bh, plane.shape[1]))
+                for y in y0s])                           # [nby, bh, W]
+            cols = jnp.stack([
+                jax.lax.slice(rows, (0, 0, int(x)),
+                              (len(y0s), bh, int(x) + span_pad))
+                for x in x0s], axis=1)
+            return cols.reshape(len(y0s) * len(x0s), bh, span_pad)
+
+        def build(stack, plane, y0s, x0s, afy, afx, ry, rx, bh, bw,
+                  pit, anchor_cy, anchor_cx, src_blk):
+            span_pad = sadmap.map_geom(ry, rx, bh, bw, pel, tile,
+                                       pit)[3]
+            if jax.default_backend() == "tpu":
+                spans = spans_of(plane, y0s, x0s, bh, span_pad)
+
+                def run(fy, fx, sp):
+                    return sadmap.sad_map_pallas(
+                        stack, fy, fx, sp, ry, rx, bh, bw, pel, tile,
+                        pit)
+
+                out = probe_ops.spatial_shard(
+                    run, [afy, afx, spans], row_len=ntx)
+                m = out.transpose(0, 2, 1).reshape(nby, rlp, -1)
+                m = m[:, :nbx].reshape(nby * nbx, -1)
+            else:
+                def run(cy, cx, sb):
+                    return sadmap.sad_map_xla(stack, cy, cx, sb, ry,
+                                              rx, bh, bw, pel)
+
+                m = probe_ops.spatial_shard(
+                    run, [anchor_cy, anchor_cx,
+                          src_blk.astype(I32)], row_len=nbx)
+            return m.reshape(nby * nbx, 2 * ry + 1, 2 * rx + 1)
+
+        self._m_l = build(self.stack, ctx.src_planes[0], s_y, s_x,
+                          af_y, af_x, r, r, bsy, bsx, pitch,
+                          self.base_y + self._av_y,
+                          self.base_x + self._av_x, src_blocks)
+        if ctx.chroma:
+            self._rc_y = (r >> logy) + 1
+            self._rc_x = (r >> logx) + 1
+            bcx, bcy = ctx.blk_size_c
+            pit_c = pitch >> logx
+            padc = self.padc
+            sc_x = hpad_c + pit_c * tile * np.arange(ntx,
+                                                     dtype=np.int32)
+            sc_y = vpad_c + (pitch_y >> logy) * np.arange(
+                nby, dtype=np.int32)
+            hp_c, wp_c = self.stack_u.shape[1], self.stack_u.shape[2]
+            (lo_cy, hi_cy), (lo_cx, hi_cx) = sadmap.anchor_bounds(
+                self._rc_y, self._rc_x, bcy, bcx, pel, tile, pit_c,
+                hp_c, wp_c)
+            # derived chroma anchors stay full-pel (av mult of 2^sh);
+            # the chroma clamp steps in pel units only
+            avc_x_t = clamp_align((av_x >> logx).reshape(nby, ntx),
+                                  (sc_x + padc)[None, :], lo_cx, hi_cx,
+                                  logp).reshape(-1)
+            avc_y_t = clamp_align((av_y >> logy).reshape(nby, ntx),
+                                  (sc_y + padc)[:, None], lo_cy, hi_cy,
+                                  logp).reshape(-1)
+            self._avc_x = per_block(avc_x_t)
+            self._avc_y = per_block(avc_y_t)
+            afc_x = (jnp.tile(jnp.asarray(sc_x + padc, I32), nby)
+                     + (avc_x_t >> logp))
+            afc_y = (jnp.repeat(jnp.asarray(sc_y + padc, I32), ntx)
+                     + (avc_y_t >> logp))
+            cbase_y = ((yc_a + padc) << logp)
+            cbase_x = ((xc_a + padc) << logp)
+            mu = build(self.stack_u, ctx.src_planes[1], sc_y, sc_x,
+                       afc_y, afc_x, self._rc_y, self._rc_x, bcy,
+                       bcx, pit_c, cbase_y + self._avc_y,
+                       cbase_x + self._avc_x, src_u_blocks)
+            mv = build(self.stack_v, ctx.src_planes[2], sc_y, sc_x,
+                       afc_y, afc_x, self._rc_y, self._rc_x, bcy,
+                       bcx, pit_c, cbase_y + self._avc_y,
+                       cbase_x + self._avc_x, src_v_blocks)
+            self._m_c = mu + mv
+
+    # -- lookups ------------------------------------------------------------
+
+    @staticmethod
+    def _lookup(m, iy, ix):
+        """[nblk] I64 values of m [nblk, Dy, Dx] at per-block grid
+        indices; INVALID_SAD outside the grid.  One-hot contractions —
+        a per-block gather would cost ~1.4us per row on this backend."""
+        _, dy_n, dx_n = m.shape
+        ok = (iy >= 0) & (iy < dy_n) & (ix >= 0) & (ix < dx_n)
+        iyc = jnp.clip(iy, 0, dy_n - 1)
+        ixc = jnp.clip(ix, 0, dx_n - 1)
+        ohy = jnp.arange(dy_n, dtype=I32)[None] == iyc[:, None]
+        row = jnp.sum(jnp.where(ohy[:, :, None], m, 0), axis=1)
+        v = jnp.sum(jnp.where(
+            jnp.arange(dx_n, dtype=I32)[None] == ixc[:, None], row, 0),
+            axis=1)
+        return jnp.where(ok, v, probe_ops.INVALID_SAD).astype(I64)
+
+    def _luma_at(self, vx, vy):
+        return self._lookup(self._m_l, vy - self._av_y + self.r,
+                            vx - self._av_x + self.r)
+
+    def _chroma_at(self, vx, vy):
+        if not self.chroma:
+            return jnp.zeros(vx.shape, I64)
+        logx, logy = self.ctx.log_ratio_uv
+        tx = (vx + jnp.where(vx < 0, (1 << logx) - 1, 0)) >> logx
+        ty = (vy + jnp.where(vy < 0, (1 << logy) - 1, 0)) >> logy
+        return self._lookup(self._m_c, ty - self._avc_y + self._rc_y,
+                            tx - self._avc_x + self._rc_x)
+
+    def luma_sads(self, vx, vy, offsets=((0, 0),)):
+        return jnp.stack([self._luma_at(vx + dx, vy + dy)
+                          for (dx, dy) in offsets], axis=1)
+
+    def chroma_sads(self, vx, vy, offsets=((0, 0),)):
+        if not self.chroma:
+            return jnp.zeros((vx.shape[0], len(offsets)), I64)
+        return jnp.stack([self._chroma_at(vx + dx, vy + dy)
+                          for (dx, dy) in offsets], axis=1)
+
+    def plain_sads_multi(self, vxs, vys):
+        return jnp.stack(
+            [self._luma_at(vx, vy) + self._chroma_at(vx, vy)
+             for vx, vy in zip(vxs, vys)], axis=1)
+
+    def sad_table(self, cx0, cy0, offsets):
+        ls = self.luma_sads(cx0, cy0, offsets)
+        cs = self.chroma_sads(cx0, cy0, offsets)
+        return ls, cs
+
+
 def _ring_offsets(r, s):
     offs = []
     for i in range(-r + s, r, s):
@@ -390,6 +687,21 @@ def _exhaustive(p, st, radius, lam, pred, active=None):
 _HEXP = [(-1, -2), (-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2),
          (-1, -2), (-2, 0)]
 _MOD6M1 = [5, 0, 1, 2, 3, 4, 5, 0]
+
+
+def _table(tbl, idx):
+    """tbl[idx] for a tiny static table via one-hot selects (a per-block
+    XLA gather costs ~1.4us per row on TPU; K selects are ~free).
+    Result shape: idx.shape + tbl.shape[1:]."""
+    t = np.asarray(tbl)
+    out = jnp.zeros(idx.shape + t.shape[1:],
+                    jnp.asarray(t.reshape(-1)[0]).dtype)
+    for k in range(t.shape[0]):
+        sel = idx == k
+        if t.ndim > 1:
+            sel = sel.reshape(sel.shape + (1,) * (t.ndim - 1))
+        out = jnp.where(sel, jnp.asarray(t[k]), out)
+    return out
 
 
 def _update_from_cols(p: FieldProber, st, ls_cols, cs_cols, vxs, vys,
@@ -474,11 +786,11 @@ def _hex2_range2(p: FieldProber, st, lam, pred, active=None):
 
     # move the centre per dir (walk loop is empty at range 2)
     d0 = jnp.clip(st["dir"], -1, 6)
-    hx = jnp.asarray([h[0] for h in _HEXP], I32)
-    hy = jnp.asarray([h[1] for h in _HEXP], I32)
+    hx = np.asarray([h[0] for h in _HEXP], np.int32)
+    hy = np.asarray([h[1] for h in _HEXP], np.int32)
     walked = st["dir"] != -2
-    bmx = jnp.where(walked, cx0 + hx[d0 + 1], cx0)
-    bmy = jnp.where(walked, cy0 + hy[d0 + 1], cy0)
+    bmx = jnp.where(walked, cx0 + _table(hx, d0 + 1), cx0)
+    bmy = jnp.where(walked, cy0 + _table(hy, d0 + 1), cy0)
     st = dict(st, bx=bmx, by=bmy)
 
     # final ring at the moved centre: per ring slot, select the SAD
@@ -517,9 +829,9 @@ def _hex2_general(p: FieldProber, st, i_me_range, lam, pred, active=None):
     direction walk probes the full 8-entry hexagon window with a
     direction-dependent per-block mask."""
     nblk = st["bx"].shape[0]
-    hx = jnp.asarray([h[0] for h in _HEXP], I32)
-    hy = jnp.asarray([h[1] for h in _HEXP], I32)
-    m6 = jnp.asarray(_MOD6M1, I32)
+    hx = np.asarray([h[0] for h in _HEXP], np.int32)
+    hy = np.asarray([h[1] for h in _HEXP], np.int32)
+    m6 = np.asarray(_MOD6M1, np.int32)
     bmx, bmy = st["bx"], st["by"]
 
     def act(mask):
@@ -536,8 +848,8 @@ def _hex2_general(p: FieldProber, st, i_me_range, lam, pred, active=None):
 
         walked = st["dir"] != -2
         d0 = jnp.clip(st["dir"], -1, 6)
-        bmx = jnp.where(walked, bmx + hx[d0 + 1], bmx)
-        bmy = jnp.where(walked, bmy + hy[d0 + 1], bmy)
+        bmx = jnp.where(walked, bmx + _table(hx, d0 + 1), bmx)
+        bmy = jnp.where(walked, bmy + _table(hy, d0 + 1), bmy)
 
         dxmin, dxmax, dymin, dymax = p.bounds
 
@@ -550,8 +862,6 @@ def _hex2_general(p: FieldProber, st, i_me_range, lam, pred, active=None):
         live_table = np.zeros((6, 8), bool)
         for odir in range(6):
             live_table[odir, odir:odir + 3] = True
-        live_tbl = jnp.asarray(live_table)
-
         def cond(c):
             st, bmx, bmy, i, walking = c
             return jnp.any(walking & (i < i_me_range // 2))
@@ -560,9 +870,9 @@ def _hex2_general(p: FieldProber, st, i_me_range, lam, pred, active=None):
             st, bmx, bmy, i, walking = c
             walking = (walking & (i < i_me_range // 2)
                        & in_bounds(bmx, bmy) & (st["dir"] != -2))
-            odir = m6[jnp.clip(st["dir"], -1, 6) + 1]
+            odir = _table(m6, jnp.clip(st["dir"], -1, 6) + 1)
             st2 = dict(st, dir=jnp.full((nblk,), -2, I32))
-            mask = live_tbl[odir] & act(walking)[:, None]
+            mask = _table(live_table, odir) & act(walking)[:, None]
             dirs8 = [od - 1 for od in range(-1, 7)]
             # dir value for entry e when odir=od is e-1 (odir-1, odir,
             # odir+1 for entries odir..odir+2)
@@ -571,8 +881,10 @@ def _hex2_general(p: FieldProber, st, i_me_range, lam, pred, active=None):
                           extra_mask=mask, lam=lam, pred=pred)
             moved = st2["dir"] != -2
             d = jnp.clip(st2["dir"], -1, 6)
-            bmx2 = jnp.where(moved & walking, bmx + hx[d + 1], bmx)
-            bmy2 = jnp.where(moved & walking, bmy + hy[d + 1], bmy)
+            bmx2 = jnp.where(moved & walking, bmx + _table(hx, d + 1),
+                             bmx)
+            bmy2 = jnp.where(moved & walking, bmy + _table(hy, d + 1),
+                             bmy)
             st3 = {k: jnp.where(walking, st2[k], st[k]) for k in st}
             return (st3, bmx2, bmy2, i + 1, walking & moved)
 
@@ -678,8 +990,6 @@ def _diamond(p, st, length, lam, pred):
         offs = cases.get(case, default)
         for kk, o in enumerate(diag_order):
             table[case, kk] = o in offs
-    diag_tbl = jnp.asarray(table)
-
     def cond(c):
         st, last = c
         return jnp.any(st["dir"] > 0)
@@ -708,7 +1018,7 @@ def _diamond(p, st, length, lam, pred):
                          lam=lam, pred=pred)
 
         # diagonals branch for blocks that found nothing on the axes
-        diag_mask = diag_tbl[jnp.clip(last, 0, 15)] \
+        diag_mask = _table(table, jnp.clip(last, 0, 15)) \
             & (found == 0)[:, None] & alive[:, None]
         st_diag = p.check(dict(st2), st["bx"], st["by"],
                           list(diag_order), dir_vals=diag_dirs,
@@ -762,14 +1072,20 @@ def refine(p: FieldProber, st, search: SearchType, param: int, lam, pred,
 
 
 def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
-              pred_main, preds, lam, idx, do_rescue: bool = True):
+              pred_main, preds, lam, idx, do_rescue: bool = True,
+              probe_p: Optional[FieldProber] = None):
     """Whole-plane pseudo-EPZ for one Jacobi iteration
     (pobPseudoEPZSearch PlaneOfBlocks.cpp:819-968, dctmode 0).
 
     pred_main: (x, y, sad) main predictor arrays; preds: list of 4
     (x, y) predictor pairs; lam: adapted lambda per block.  Returns the
-    field state dict.
+    field state dict.  probe_p (default p) serves the bad-SAD rescue:
+    when p is a MapProber the rescue walks far from the map anchor, so
+    it needs a window-probing prober — its DMAs only run inside the
+    any(bad) cond.
     """
+    if probe_p is None:
+        probe_p = p
     search = level_params["search"]
     param = level_params["param"]
     pzero = level_params["pzero"]
@@ -886,7 +1202,8 @@ def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
                  "mincost": st["mincost"]},
                 offs, p.bounds, pred, lam, p.pnew, bad)
             st = dict(st, **stf)
-            st = _hex2(p, st, badrange * pelf, lam, pred, active=bad)
+            st = _hex2(probe_p, st, badrange * pelf, lam, pred,
+                       active=bad)
         elif badrange < 0:
             done = jnp.zeros((nblk,), bool)
             for i in range(1, -badrange * pelf, pelf):
@@ -900,7 +1217,7 @@ def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
         if pelf > 1:
             mvx, mvy = st["bx"], st["by"]
             for i in range(1, pelf):
-                st = _expanding(p, st, i, 1, mvx, mvy, lam, pred,
+                st = _expanding(probe_p, st, i, 1, mvx, mvy, lam, pred,
                                 active=bad)
         return st
 

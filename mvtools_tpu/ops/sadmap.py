@@ -1,0 +1,267 @@
+"""Dense tile-level SAD maps — one window DMA per block tile evaluates
+a whole +-R pel-offset grid for every block in the tile.
+
+The per-block probe kernel (ops/probe.py) is DMA-latency bound at
+~0.3us/window and, worse, wastes 7/8 of every vector register: each
+(block, offset) evaluation runs |src-ref| on a 16-lane block slice of a
+128-lane register.  This kernel changes the unit of work a second time
+(the reference's innermost unit is one SAD per candidate per block,
+pobCheckMV PlaneOfBlocks.cpp:219-261): a TILE of consecutive blocks in
+one block row shares a single [pel^2, WY, WX] window anchored near the
+median of the tile's predictors, and every static grid offset (dx, dy)
+in [-Rx, Rx] x [-Ry, Ry] pel is evaluated for ALL blocks of the tile at
+once — |src_span - ref_span| over the tile's full lane span, column
+sums, then one per-block pooling matmul on the MXU.  The whole
+hierarchical search (predictor trials, hex2 walk, expanding rings) then
+runs as pure XLA one-hot lookups into the resulting [nblk, Dy, Dx] map
+with ZERO further DMA (field_engine.MapProber).
+
+Contract: map entries are bit-identical to probe_sads SADs for the same
+candidate.  Candidates outside the grid report INVALID_SAD and lose
+every cost comparison (same convention as the tiled probe; the dense
+zero trial guarantees a real cost bound exists for every block).
+
+8-bit sources only (per-block SADs <= 255*256 stay exact in the f32
+pooling matmul); the field engine falls back to probes for deeper bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import probe as probe_ops
+
+I32 = jnp.int32
+INVALID_SAD = probe_ops.INVALID_SAD
+
+
+def map_geom(r_y: int, r_x: int, bs_y: int, bs_x: int, pel: int,
+             tile: int, pitch_fp: int):
+    """Static window geometry of a tile map.
+
+    Returns (min_oy, min_ox, span_x, span_pad, rows2, wy_total,
+    wx_total): min_o* are the most-negative full-pel grid offsets,
+    span_x the tile's source lane span, span_pad its 128-lane rounding,
+    rows2 the row count kept after the sublane roll, w*_total the DMA
+    window size (alignment shift + tile rounding included)."""
+    logp = pel.bit_length() - 1
+    min_oy = (-r_y) >> logp
+    max_oy = r_y >> logp
+    min_ox = (-r_x) >> logp
+    max_ox = r_x >> logp
+    span_x = (tile - 1) * pitch_fp + bs_x
+    span_pad = -(-span_x // 128) * 128
+    wy_logical = bs_y + (max_oy - min_oy)
+    rows2 = -(-wy_logical // 8) * 8
+    wx_logical = span_pad + (max_ox - min_ox)
+    wy_total = -(-(wy_logical + 8) // 32) * 32
+    wx_total = -(-(wx_logical + 128) // 128) * 128
+    return min_oy, min_ox, span_x, span_pad, rows2, wy_total, wx_total
+
+
+def grid_offsets(r_y: int, r_x: int):
+    """The static pel-offset grid, dy-major (row index iy = dy + r_y,
+    column index ix = dx + r_x)."""
+    return [(dx, dy) for dy in range(-r_y, r_y + 1)
+            for dx in range(-r_x, r_x + 1)]
+
+
+def anchor_bounds(r_y: int, r_x: int, bs_y: int, bs_x: int, pel: int,
+                  tile: int, pitch_fp: int, hp: int, wp: int):
+    """Inclusive [lo, hi] full-pel anchor ranges (y, x) such that the
+    aligned-down window DMA stays inside a [hp, wp] padded stack."""
+    min_oy, min_ox, _, _, _, wy_total, wx_total = map_geom(
+        r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp)
+    lo_y, lo_x = -min_oy, -min_ox
+    hi_y = hp - wy_total - min_oy
+    hi_x = wp - wx_total - min_ox
+    return (lo_y, hi_y), (lo_x, hi_x)
+
+
+def _pool_matrix(span_pad: int, bs_x: int, pitch_fp: int, tile: int):
+    """[span_pad, tile] f32: column b sums source columns
+    [b*pitch, b*pitch + bs_x) — per-block SADs from the span's column
+    sums in one matmul (overlapped grids simply share columns)."""
+    m = np.zeros((span_pad, tile), np.float32)
+    for b in range(tile):
+        m[b * pitch_fp:b * pitch_fp + bs_x, b] = 1.0
+    return m
+
+
+def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
+                   out_ref, win_scratch, a_smem, sems, a_sems, *,
+                   r_y, r_x, bs_y, bs_x, pel, tile, chunk_t, pitch_fp,
+                   grid_n):
+    logp = pel.bit_length() - 1
+    pelm = np.int32(pel - 1)
+    (min_oy, min_ox, span_x, span_pad, rows2, wy_total,
+     wx_total) = map_geom(r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp)
+    n_sub = pel * pel
+    g = pl.program_id(0)
+
+    def a_copies(buf, step):
+        row = pl.multiple_of(step * np.int32(chunk_t), chunk_t)
+        return [pltpu.make_async_copy(
+                    ref.at[pl.ds(row, chunk_t)],
+                    a_smem.at[np.int32(buf), np.int32(i)],
+                    a_sems.at[np.int32(buf)])
+                for i, ref in ((0, afy_ref), (1, afx_ref))]
+
+    def base_of(buf, j):
+        by = a_smem[np.int32(buf), np.int32(0), np.int32(j),
+                    np.int32(0)] + np.int32(min_oy)
+        bx = a_smem[np.int32(buf), np.int32(1), np.int32(j),
+                    np.int32(0)] + np.int32(min_ox)
+        return (pl.multiple_of(by & np.int32(~7), 8),
+                pl.multiple_of(bx & np.int32(~127), 128),
+                by & np.int32(7), bx & np.int32(127))
+
+    def tile_dmas(buf, j):
+        ay, ax, _, _ = base_of(buf, j)
+        return [pltpu.make_async_copy(
+                    stack_ref.at[np.int32(s), pl.ds(ay, wy_total),
+                                 pl.ds(ax, wx_total)],
+                    win_scratch.at[np.int32(j), np.int32(s)],
+                    sems.at[np.int32(j)])
+                for s in range(n_sub)]
+
+    # anchors: this step into buf 0, next step's into buf 1
+    for c in a_copies(0, g):
+        c.start()
+        c.wait()
+    if grid_n > 1:
+        @pl.when(g < np.int32(grid_n - 1))
+        def _():
+            for c in a_copies(1, g + 1):
+                c.start()
+
+    # the first step starts its own window DMAs; later steps find them
+    # in flight from the previous step's tail
+    @pl.when(g == np.int32(0))
+    def _():
+        for j in range(chunk_t):
+            for c in tile_dmas(0, j):
+                c.start()
+
+    for j in range(chunk_t):
+        for c in tile_dmas(0, j):
+            c.wait()
+        _, _, ry, rx = base_of(0, j)
+        # un-rotate the alignment shift once per (tile, subplane); every
+        # grid offset is then a STATIC slice of the rolled plane
+        planes = []
+        for s in range(n_sub):
+            w2 = win_scratch[np.int32(j), np.int32(s)].astype(I32)
+            w2 = pltpu.roll(w2, -ry, 0)
+            w2 = jax.lax.slice(w2, (0, 0), (rows2, wx_total))
+            w2 = pltpu.roll(w2, -rx, 1)
+            planes.append(w2)
+        src = src_ref[j].astype(I32)            # [bs_y, span_pad]
+        pool = pool_ref[...]
+        rows_out = []
+        for dy in range(-r_y, r_y + 1):
+            oy = (dy >> logp) - min_oy
+            for dx in range(-r_x, r_x + 1):
+                sub = (dx & int(pelm)) | ((dy & int(pelm)) << logp)
+                ox = (dx >> logp) - min_ox
+                ref = jax.lax.slice(planes[sub], (oy, ox),
+                                    (oy + bs_y, ox + span_pad))
+                d = jnp.abs(ref - src)
+                # 8-bit data: column sums <= 255*bs_y and block sums
+                # <= 255*bs_y*bs_x < 2^24 are exact in f32 (HIGHEST
+                # keeps the MXU in its exact-f32 pass)
+                colsum = jnp.sum(d.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+                part = jnp.dot(colsum, pool,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                rows_out.append(part.astype(I32))
+        out_ref[j] = jnp.concatenate(rows_out, axis=0)
+
+    # tail: prefetch the next step's tile windows
+    if grid_n > 1:
+        @pl.when(g < np.int32(grid_n - 1))
+        def _():
+            for c in a_copies(1, g + 1):
+                c.wait()
+            for j in range(chunk_t):
+                for c in tile_dmas(1, j):
+                    c.start()
+
+
+def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
+                   r_x: int, bs_y: int, bs_x: int, pel: int, tile: int,
+                   pitch_fp: int):
+    """[ntile, D, tile] i32 SAD map (D = (2*r_y+1)*(2*r_x+1), dy-major).
+
+    stack: [pel^2, Hp, Wp] pad_stack output; anchor_fy/fx: [ntile]
+    full-pel window-coordinate anchors, pre-clamped to anchor_bounds;
+    src_spans: [ntile, bs_y, span_pad] source spans (block b of a tile
+    at span columns [b*pitch_fp, b*pitch_fp + bs_x))."""
+    ntile = anchor_fy.shape[0]
+    (_, _, _, span_pad, _, wy_total, wx_total) = map_geom(
+        r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp)
+    d = (2 * r_y + 1) * (2 * r_x + 1)
+    # window slots under ~2MB VMEM; modest chunks also bound the unroll
+    slot_bytes = pel * pel * wy_total * wx_total * stack.dtype.itemsize
+    chunk_t = max(1, min(2, (2 << 20) // max(1, slot_bytes)))
+
+    pad_t = (-ntile) % chunk_t
+    if pad_t:
+        anchor_fy = jnp.pad(anchor_fy, (0, pad_t), mode="edge")
+        anchor_fx = jnp.pad(anchor_fx, (0, pad_t), mode="edge")
+        src_spans = jnp.pad(src_spans, ((0, pad_t), (0, 0), (0, 0)))
+    n = anchor_fy.shape[0]
+    grid = n // chunk_t
+    # lane-pad the per-tile scalars so the SMEM DMA is tile-aligned
+    afy = jnp.broadcast_to(anchor_fy[:, None], (n, 128))
+    afx = jnp.broadcast_to(anchor_fx[:, None], (n, 128))
+
+    pool = jnp.asarray(_pool_matrix(span_pad, bs_x, pitch_fp, tile))
+    kernel = functools.partial(
+        _sadmap_kernel, r_y=r_y, r_x=r_x, bs_y=bs_y, bs_x=bs_x, pel=pel,
+        tile=tile, chunk_t=chunk_t, pitch_fp=pitch_fp, grid_n=grid)
+    z = np.int32(0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # anchor_fy in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # anchor_fx in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # subplane stack
+            pl.BlockSpec((chunk_t, bs_y, span_pad),
+                         lambda g: (g, z, z), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pool.shape, lambda g: (z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_t, d, tile),
+                               lambda g: (g, z, z),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_t, pel * pel, wy_total, wx_total),
+                       stack.dtype),
+            pltpu.SMEM((2, 2, chunk_t, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((chunk_t,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n, d, tile), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(afy, afx, stack, src_spans, pool)
+    return out[:ntile]
+
+
+def sad_map_xla(stack, anchor_cy, anchor_cx, src_blocks, r_y: int,
+                r_x: int, bs_y: int, bs_x: int, pel: int):
+    """Reference semantics, per block: [nblk, D] i32 where anchor_cy/cx
+    are each block's rel-(0,0) PEL positions (probe coordinates)."""
+    grid = tuple(grid_offsets(r_y, r_x))
+    out = probe_ops.probe_sads_xla(stack, anchor_cy[:, None],
+                                   anchor_cx[:, None], src_blocks,
+                                   grid, bs_y, bs_x, pel)
+    return out[:, 0, :]

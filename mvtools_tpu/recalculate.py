@@ -339,12 +339,25 @@ def _recalculate_field(src_super: Super, ref_super: Super, old_mv: MVField,
 
     cpx = jnp.clip(px_a, dxmin_a, dxmax_a - 1)
     cpy = jnp.clip(py_a, dymin_a, dymax_a - 1)
+    # the initial predictor SAD comes from a real probe (every block
+    # needs a valid bound — an off-map predictor would otherwise emit
+    # INVALID_SAD as the block's output SAD); the refine walk stays
+    # within map range of the old vector, so it runs on the dense
+    # tile map when available (anchor = old predictor field)
     sad0 = prober.plain_sad(cpx, cpy)
+    refine_p = prober
+    import os as _os
+    if (spec.dct == 0 and _os.environ.get("MVT_SADMAP", "1") != "0"
+            and fe.map_supported(ctx, fe.map_radius(ctx))):
+        refine_p = fe.MapProber(ctx, src_blocks, src_u_blocks,
+                                src_v_blocks, x0_a, y0_a, xc_a, yc_a,
+                                bounds, spec.pnew, pred_vx=cpx,
+                                pred_vy=cpy)
     st = {"bx": cpx, "by": cpy, "bsad": sad0, "mincost": sad0,
           "dir": jnp.zeros((nblk,), I32)}
     bad = sad0 > thsad
-    st = fe.refine(prober, st, spec.search, spec.n_search_param, lam_a,
-                   (cpx, cpy), active=bad)
+    st = fe.refine(refine_p, st, spec.search, spec.n_search_param,
+                   lam_a, (cpx, cpy), active=bad)
 
     levels = [MVPlaneField(st["bx"].reshape(nby, nbx),
                            st["by"].reshape(nby, nbx),

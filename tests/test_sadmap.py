@@ -1,0 +1,254 @@
+"""Tests for the dense tile-level SAD map (ops/sadmap.py) and the
+MapProber lockstep path.
+
+On CPU the map is served by sad_map_xla (per-block probes over the full
+grid); these tests validate (a) the map values against a direct numpy
+evaluation, and (b) the lockstep engine with MVT_SADMAP=1 against the
+probe-based lockstep engine — bit-identical whenever every candidate
+stays inside the grid (small motion), and near-identical SAD totals
+otherwise.  On TPU (MVT_TEST_TPU=1) the same analyse tests exercise the
+Pallas kernel through the backend dispatch.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mvtools_tpu as mvt
+from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
+from mvtools_tpu.core.types import ColorFamily, SearchType, VideoFormat
+from mvtools_tpu.ops import probe, sadmap
+
+
+def _numpy_map(stack, anchor_cy, anchor_cx, src_blocks, r, bs, pel):
+    pelm = pel - 1
+    logp = pel.bit_length() - 1
+    nblk = anchor_cy.shape[0]
+    d = 2 * r + 1
+    out = np.zeros((nblk, d * d), np.int64)
+    for b in range(nblk):
+        for i, (dx, dy) in enumerate(sadmap.grid_offsets(r, r)):
+            ay = anchor_cy[b] + dy
+            ax = anchor_cx[b] + dx
+            sub = (ax & pelm) | ((ay & pelm) << logp)
+            yf, xf = ay >> logp, ax >> logp
+            ref = stack[sub, yf:yf + bs, xf:xf + bs].astype(np.int64)
+            out[b, i] = np.abs(ref - src_blocks[b]).sum()
+    return out
+
+
+def test_sad_map_xla_matches_numpy():
+    rng = np.random.default_rng(0)
+    pel, bs, r = 2, 16, 4
+    plane = rng.integers(0, 256, (pel * pel, 96, 120), np.uint8)
+    stack = np.asarray(probe.pad_stack(jnp.asarray(plane), 16))
+    src = rng.integers(0, 256, (6, bs, bs), np.uint8).astype(np.int32)
+    cy = rng.integers((16 + r) * pel, (96 - bs - r) * pel, (6,))
+    cx = rng.integers((16 + r) * pel, (120 - bs - r) * pel, (6,))
+    # anchors must be full-pel for the kernel; the XLA path accepts any,
+    # but test the kernel's contract
+    cy = (cy // pel) * pel
+    cx = (cx // pel) * pel
+    got = np.asarray(sadmap.sad_map_xla(
+        jnp.asarray(stack), jnp.asarray(cy, jnp.int32),
+        jnp.asarray(cx, jnp.int32), jnp.asarray(src), r, r, bs, bs,
+        pel))
+    want = _numpy_map(stack, cy, cx, src, r, bs, pel)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel needs TPU")
+@pytest.mark.parametrize("pel,bs,ov,r", [(2, 16, 0, 8), (1, 16, 8, 9),
+                                         (4, 16, 0, 8), (2, 8, 0, 10)])
+def test_sad_map_pallas_matches_xla(pel, bs, ov, r):
+    """The tiled Pallas kernel against the per-block XLA evaluation,
+    byte-for-byte, on a full synthetic block grid."""
+    rng = np.random.default_rng(1 + pel + bs + ov)
+    h, w = 160, 256
+    hpad = vpad = 16
+    pitch = bs - ov
+    nbx = (w - ov) // pitch
+    nby = (h - ov) // pitch
+    plane = rng.integers(0, 256, (pel * pel, h + 2 * vpad, w + 2 * hpad),
+                         np.uint8)
+    stack = probe.pad_stack(jnp.asarray(plane), 16)
+    tile = max(2, min(32, (128 - bs) // pitch + 1))
+    tile = min(tile, nbx)
+    rlp = -(-nbx // tile) * tile
+    ntx = rlp // tile
+    src_plane = rng.integers(0, 256, (h + 2 * vpad, w + 2 * hpad),
+                             np.uint8)
+    # anchors: random full-pel MVs per tile within the clamp bounds
+    (lo_y, hi_y), (lo_x, hi_x) = sadmap.anchor_bounds(
+        r, r, bs, bs, pel, tile, pitch, stack.shape[1], stack.shape[2])
+    span_pad = sadmap.map_geom(r, r, bs, bs, pel, tile, pitch)[3]
+    af_y = rng.integers(lo_y, hi_y + 1, (nby * ntx,)).astype(np.int32)
+    af_x = rng.integers(lo_x, hi_x + 1, (nby * ntx,)).astype(np.int32)
+
+    # source spans + per-block geometry
+    sp = np.pad(src_plane, ((0, 0), (0, span_pad)), mode="edge")
+    spans = np.zeros((nby * ntx, bs, span_pad), np.uint8)
+    cy_blk = np.zeros((nby * rlp,), np.int32)
+    cx_blk = np.zeros((nby * rlp,), np.int32)
+    src_blocks = np.zeros((nby * rlp, bs, bs), np.uint8)
+    for by in range(nby):
+        for tx in range(ntx):
+            t = by * ntx + tx
+            y0 = vpad + by * (bs - ov)
+            x0 = hpad + tx * tile * pitch
+            spans[t] = sp[y0:y0 + bs, x0:x0 + span_pad]
+            for b in range(tile):
+                blk = by * rlp + tx * tile + b
+                xb = min(x0 + b * pitch, src_plane.shape[1] - bs)
+                src_blocks[blk] = src_plane[y0:y0 + bs,
+                                            xb:xb + bs]
+                cy_blk[blk] = (af_y[t]) * pel
+                cx_blk[blk] = (af_x[t] + b * pitch) * pel
+
+    got = sadmap.sad_map_pallas(
+        stack, jnp.asarray(af_y), jnp.asarray(af_x),
+        jnp.asarray(spans), r, r, bs, bs, pel, tile, pitch)
+    got = np.asarray(got).transpose(0, 2, 1).reshape(nby * rlp, -1)
+    want = np.asarray(sadmap.sad_map_xla(
+        stack, jnp.asarray(cy_blk), jnp.asarray(cx_blk),
+        jnp.asarray(src_blocks.astype(np.int32)), r, r, bs, bs, pel))
+    np.testing.assert_array_equal(got, want)
+
+
+def _clip_pair(rng, w, h, chroma, shift):
+    fam = ColorFamily.YUV420 if chroma else ColorFamily.GRAY
+    fmt = VideoFormat(w, h, 8, fam)
+    base = rng.integers(0, 256, (h + 64, w + 64), np.uint8)
+    base = ((base.astype(np.int32) + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1)) // 3).astype(np.uint8)
+    dy, dx = shift
+    src = [jnp.asarray(base[32:32 + h, 32:32 + w])]
+    ref = [jnp.asarray(base[32 + dy:32 + dy + h, 32 + dx:32 + dx + w])]
+    if chroma:
+        cb = rng.integers(0, 256, (h // 2 + 64, w // 2 + 64), np.uint8)
+        for off in (0, 1):
+            src.append(jnp.asarray(cb[32 + off:32 + off + h // 2,
+                                      32:32 + w // 2]))
+            ref.append(jnp.asarray(
+                cb[32 + off + dy // 2:32 + off + dy // 2 + h // 2,
+                   32 + dx // 2:32 + dx // 2 + w // 2]))
+    return fmt, src, ref
+
+
+ENGINE_CASES = [
+    ("gray", False, 0, 2, 0, (2, 3), True),
+    ("chroma", True, 8, 2, 2, (2, 3), True),
+    ("qpel", False, 0, 4, 2, (1, 2), True),
+    ("bigmotion", False, 0, 2, 3, (18, 25), False),
+]
+
+
+@pytest.mark.parametrize("case", [c[0] for c in ENGINE_CASES])
+def test_map_lockstep_vs_probe_lockstep(case):
+    """Each case runs in a fresh interpreter: XLA:CPU's AOT executable
+    loader intermittently segfaults deserializing cache entries inside
+    a long pytest process (same workaround as test_parity_report)."""
+    if os.environ.get("MVT_SADMAP_INNER"):
+        pytest.skip("outer wrapper only")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", os.path.abspath(__file__),
+         "-q", "-k", f"inner and {case}"],
+        env={**os.environ, "MVT_SADMAP_INNER": "1"},
+        capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+
+@pytest.mark.parametrize("name,chroma,overlap,pel,levels,shift,exact",
+                         ENGINE_CASES)
+def test_map_lockstep_vs_probe_lockstep_inner(name, chroma, overlap,
+                                              pel, levels, shift,
+                                              exact):
+    """MVT_SADMAP=1 lockstep vs the probe lockstep engine: identical
+    when all candidates stay inside the grid; bounded SAD drift when
+    far-flung candidates fall off the map (large motion)."""
+    if not os.environ.get("MVT_SADMAP_INNER"):
+        pytest.skip("run via the subprocess wrapper")
+    rng = np.random.default_rng(3 + pel + levels)
+    fmt, src, ref = _clip_pair(rng, 256, 160, chroma, shift)
+    sspec = SuperConfig(pel=pel, levels=levels,
+                        chroma=chroma).validate(fmt)
+    aspec = AnalyseConfig(blksize=16, levels=levels, overlap=overlap,
+                          search=SearchType.HEX2, searchparam=2,
+                          truemotion=True, chroma=chroma).validate(sspec)
+    s_src = mvt.build_super(src, sspec)
+    s_ref = mvt.build_super(ref, sspec)
+    old = os.environ.get("MVT_SADMAP")
+    try:
+        os.environ["MVT_SADMAP"] = "0"
+        mv0 = mvt.analyse(s_src, s_ref, aspec, engine="lockstep")
+        os.environ["MVT_SADMAP"] = "1"
+        mv1 = mvt.analyse(s_src, s_ref, aspec, engine="lockstep")
+    finally:
+        if old is None:
+            os.environ.pop("MVT_SADMAP", None)
+        else:
+            os.environ["MVT_SADMAP"] = old
+    if exact:
+        for k in ("x", "y", "sad"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mv0.finest, k)),
+                np.asarray(getattr(mv1.finest, k)), err_msg=k)
+    else:
+        s0 = float(np.asarray(mv0.finest.sad, np.float64).sum())
+        s1 = float(np.asarray(mv1.finest.sad, np.float64).sum())
+        assert s1 <= s0 * 1.02
+
+
+def test_map_recalculate_vs_probe():
+    """Subprocess wrapper (see test_map_lockstep_vs_probe_lockstep)."""
+    if os.environ.get("MVT_SADMAP_INNER"):
+        pytest.skip("outer wrapper only")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", os.path.abspath(__file__),
+         "-q", "-k", "recalculate and inner"],
+        env={**os.environ, "MVT_SADMAP_INNER": "1"},
+        capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+
+def test_map_recalculate_vs_probe_inner():
+    """Field-level MRecalculate with the map refine vs the probe
+    refine: identical when the walk stays on the map."""
+    if not os.environ.get("MVT_SADMAP_INNER"):
+        pytest.skip("run via the subprocess wrapper")
+    from mvtools_tpu.recalculate import RecalculateConfig, recalculate
+    rng = np.random.default_rng(5)
+    fmt, src, ref = _clip_pair(rng, 256, 160, False, (2, 3))
+    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+    aspec = AnalyseConfig(blksize=16, levels=0, truemotion=True,
+                          chroma=False).validate(sspec)
+    rcfg = RecalculateConfig(blksize=8, overlap=0, thsad=150,
+                             chroma=False, truemotion=True)
+    rspec = rcfg.to_analyse_config().validate(sspec)
+    s_src = mvt.build_super(src, sspec)
+    s_ref = mvt.build_super(ref, sspec)
+    old = os.environ.get("MVT_SADMAP")
+    try:
+        os.environ["MVT_SADMAP"] = "0"
+        mv = mvt.analyse(s_src, s_ref, aspec, engine="lockstep")
+        r0 = recalculate(s_src, s_ref, mv, rspec, rcfg,
+                         engine="lockstep")
+        os.environ["MVT_SADMAP"] = "1"
+        r1 = recalculate(s_src, s_ref, mv, rspec, rcfg,
+                         engine="lockstep")
+    finally:
+        if old is None:
+            os.environ.pop("MVT_SADMAP", None)
+        else:
+            os.environ["MVT_SADMAP"] = old
+    for k in ("x", "y", "sad"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r0.levels[0], k)),
+            np.asarray(getattr(r1.levels[0], k)), err_msg=k)

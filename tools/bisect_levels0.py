@@ -1,77 +1,72 @@
-"""Bisect the 1080p YUV420 levels=0 TPU kernel fault.
+"""Bisect the 1080p YUV levels=0 TPU kernel fault (BASELINE.md known
+issue): run Super+Analyse at increasing pyramid depths and with each
+probe-path toggle, reporting the first failing configuration.
 
-bench config 4 at levels=0 faulted ("TPU device error: kernel fault")
-while levels=3 and small levels=0 runs are clean; the window-DMA
-overshoot theory is ruled out analytically (tests/test_dma_audit.py).
-This walks the pyramid depth one level at a time on real hardware to
-find the first faulting stage, then splits analyse vs degrain.
-
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bisect_levels0.py
+Usage: python tools/bisect_levels0.py [maxlevels]
+Each configuration runs in a SUBPROCESS so a TPU kernel fault doesn't
+kill the sweep.
 """
 
-import dataclasses
+import os
+import subprocess
 import sys
-import time
 
-import numpy as np
+CASE = r"""
+import os
+import numpy as np, jax, jax.numpy as jnp
+import mvtools_tpu as mvt
+from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
+from mvtools_tpu.core.types import ColorFamily, SearchType, VideoFormat
+
+levels = int(os.environ["CASE_LEVELS"])
+w, h = 1920, 1080
+fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
+rng = np.random.default_rng(0)
+planes = [jnp.asarray(rng.integers(0, 256, (h, w), np.uint8)),
+          jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8)),
+          jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))]
+planes2 = [jnp.asarray(np.roll(np.asarray(p), (2, 3), (0, 1)))
+           for p in planes]
+sspec = SuperConfig(pel=2, levels=levels, chroma=True).validate(fmt)
+aspec = AnalyseConfig(blksize=16, levels=levels, overlap=8,
+                      search=SearchType.HEX2, searchparam=2,
+                      truemotion=True, chroma=True).validate(sspec)
+s1 = mvt.build_super(planes, sspec)
+s2 = mvt.build_super(planes2, sspec)
+mv = mvt.analyse(s1, s2, aspec, engine="lockstep")
+print("OK sad_sum", int(np.asarray(mv.finest.sad, np.int64).sum()))
+"""
+
+
+def run(levels, env_extra):
+    env = dict(os.environ, CASE_LEVELS=str(levels), **env_extra)
+    r = subprocess.run([sys.executable, "-c", CASE], env=env,
+                       capture_output=True, text=True, timeout=2400)
+    tag = " ".join(f"{k}={v}" for k, v in env_extra.items()) or "default"
+    status = "ok" if r.returncode == 0 else f"FAIL rc={r.returncode}"
+    print(f"levels={levels:2d} [{tag}]: {status}", flush=True)
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-12:]
+        print("    " + "\n    ".join(tail), flush=True)
+    return r.returncode == 0
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from mvtools_tpu import analyse, build_super
-    from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
-    from mvtools_tpu.core.types import ColorFamily, VideoFormat
-
-    w, h = 1920, 1080
-    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
-    rng = np.random.default_rng(int(time.time()))
-
-    def yuv(seed_shift):
-        return [jnp.asarray(rng.integers(0, 256, (h, w), np.uint8)),
-                jnp.asarray(rng.integers(0, 256, (h // 2, w // 2),
-                                         np.uint8)),
-                jnp.asarray(rng.integers(0, 256, (h // 2, w // 2),
-                                         np.uint8))]
-
-    for levels in (3, 4, 5, 6, 7, 0):
-        scfg = SuperConfig(pel=2, levels=levels, chroma=True)
-        acfg = AnalyseConfig(blksize=16, levels=levels, overlap=8,
-                             truemotion=True, chroma=True)
-        sspec = scfg.validate(fmt)
-        aspec = dataclasses.replace(acfg, isb=True).validate(sspec)
-        t0 = time.time()
-        try:
-            sa = build_super(yuv(0), sspec)
-            sb = build_super(yuv(1), sspec)
-            mv = analyse(sa, sb, aspec, engine="lockstep")
-            jax.block_until_ready(mv.levels[0].sad)
-            print(f"levels={levels} (lv_count={aspec.meta.lv_count}): "
-                  f"ANALYSE OK {time.time()-t0:.1f}s", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"levels={levels}: ANALYSE FAULT after "
-                  f"{time.time()-t0:.1f}s: {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
-            sys.exit(1)
-
-    # analyse clean at full depth -> degrain leg
-    from mvtools_tpu.degrain import DegrainConfig
-    from mvtools_tpu.models.denoise import degrain_clip
-    scfg = SuperConfig(pel=2, levels=0, chroma=True)
-    acfg = AnalyseConfig(blksize=16, levels=0, overlap=8,
-                         truemotion=True, chroma=True)
-    t0 = time.time()
-    clip = [jnp.asarray(rng.integers(0, 256, (8, h, w), np.uint8)),
-            jnp.asarray(rng.integers(0, 256, (8, h // 2, w // 2),
-                                     np.uint8)),
-            jnp.asarray(rng.integers(0, 256, (8, h // 2, w // 2),
-                                     np.uint8))]
-    outs = degrain_clip(clip, fmt, scfg, acfg, DegrainConfig(thsad=400),
-                        radius=3, engine="lockstep")
-    jax.block_until_ready(outs[0])
-    print(f"degrain_clip levels=0 radius=3: OK {time.time()-t0:.1f}s",
-          flush=True)
+    maxl = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    sspec_levels = 8  # 1080p full pyramid depth
+    depths = list(range(3, (maxl or sspec_levels) + 1))
+    first_bad = None
+    for lv in depths:
+        if not run(lv, {}):
+            first_bad = lv
+            break
+    if first_bad is None:
+        print("all depths pass with current defaults")
+        return
+    # isolate which probe path faults at the first bad depth
+    for toggles in ({"MVT_SADMAP": "0"}, {"MVT_TILED": "0"},
+                    {"MVT_SADMAP": "0", "MVT_TILED": "0"}):
+        run(first_bad, toggles)
 
 
 if __name__ == "__main__":
