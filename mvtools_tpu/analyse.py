@@ -1603,35 +1603,57 @@ def interpolate_prediction(coarse, nbx2: int, nby2: int, nbx: int, nby: int,
     aoddy = bsy * 3 - ovy * 2
     aeveny = bsy * 3 - ovy * 4
 
-    l = jnp.arange(nby, dtype=I32)[:, None]
-    k = jnp.arange(nbx, dtype=I32)[None, :]
-    i = jnp.minimum(k, 2 * nbx2 - 1)
-    j = jnp.minimum(l, 2 * nby2 - 1)
-    offy = -1 + 2 * (j % 2)
-    offx = -1 + 2 * (i % 2)
+    # clamped fine->coarse index maps are static; the corner reads are
+    # a regular 2x nearest upsample with +-1 parity shifts — pure
+    # repeat/pad/slice/select, no gathers (a TPU gather costs ~1.4us
+    # per offset row; 12 corner gathers per level transition added ms)
+    i_np = np.minimum(np.arange(nbx), 2 * nbx2 - 1)
+    j_np = np.minimum(np.arange(nby), 2 * nby2 - 1)
+    offx = jnp.asarray(-1 + 2 * (i_np % 2), I32)[None, :]
+    offy = jnp.asarray(-1 + 2 * (j_np % 2), I32)[:, None]
+    odd_x = jnp.asarray((i_np % 2) == 1)[None, :]
+    odd_y = jnp.asarray((j_np % 2) == 1)[:, None]
+    edge_x = jnp.asarray((i_np == 0) | (i_np >= 2 * nbx2 - 1))[None, :]
+    edge_y = jnp.asarray((j_np == 0) | (j_np >= 2 * nby2 - 1))[:, None]
+    edge_x, edge_y = jnp.broadcast_arrays(edge_x, edge_y)
 
-    i2 = i // 2
-    j2 = j // 2
-    edge_x = (i == 0) | (i >= 2 * nbx2 - 1)
-    edge_y = (j == 0) | (j >= 2 * nby2 - 1)
+    def up2(a2):
+        """[nby2, nbx2] -> [nby, nbx] nearest upsample, edge-clamped."""
+        u = jnp.repeat(jnp.repeat(a2, 2, 0), 2, 1)
+        py = max(0, nby - 2 * nby2)
+        px = max(0, nbx - 2 * nbx2)
+        if py or px:
+            u = jnp.pad(u, ((0, py), (0, px)), mode="edge")
+        return u[:nby, :nbx]
 
-    def at(jj, ii):
-        idx = jnp.broadcast_to(jj * nbx2 + ii, (nby, nbx)).reshape(-1)
-        return (cvx[idx].reshape(nby, nbx), cvy[idx].reshape(nby, nbx),
-                cvs[idx].reshape(nby, nbx))
+    def shifted(a2, dy_, dx_):
+        """value at (clip(j2+dy_), clip(i2+dx_)) on the coarse grid."""
+        p = jnp.pad(a2, ((1, 1), (1, 1)), mode="edge")
+        return jax.lax.slice(p, (1 + dy_, 1 + dx_),
+                             (1 + dy_ + nby2, 1 + dx_ + nbx2))
 
-    c_jj = jnp.clip(j2 + offy, 0, nby2 - 1)
-    c_ii = jnp.clip(i2 + offx, 0, nbx2 - 1)
-    v_cc = at(j2, i2)          # (j/2, i/2)
-    v_cx = at(j2, c_ii)        # (j/2, i/2+offx)
-    v_cy = at(c_jj, i2)        # (j/2+offy, i/2)
-    v_xy = at(c_jj, c_ii)
+    def corners(cv):
+        a2 = cv.reshape(nby2, nbx2)
+        cc = up2(a2)
+        cx = jnp.where(odd_x, up2(shifted(a2, 0, 1)),
+                       up2(shifted(a2, 0, -1)))
+        cy = jnp.where(odd_y, up2(shifted(a2, 1, 0)),
+                       up2(shifted(a2, -1, 0)))
+        xy = jnp.where(
+            odd_y,
+            jnp.where(odd_x, up2(shifted(a2, 1, 1)),
+                      up2(shifted(a2, 1, -1))),
+            jnp.where(odd_x, up2(shifted(a2, -1, 1)),
+                      up2(shifted(a2, -1, -1))))
+        return cc, cx, cy, xy
 
-    def sel(a, b):
-        return tuple(jnp.where(edge_x & edge_y, a[t],
-                     jnp.where(edge_x, b[0][t],
-                     jnp.where(edge_y, b[1][t], b[2][t])))
-                     for t in range(3))
+    ccx, cxx, cyx, xyx = corners(cvx)
+    ccy, cxy, cyy, xyy = corners(cvy)
+    ccs, cxs, cys, xys = corners(cvs)
+    v_cc = (ccx, ccy, ccs)
+    v_cx = (cxx, cxy, cxs)
+    v_cy = (cyx, cyy, cys)
+    v_xy = (xyx, xyy, xys)
 
     # v1..v4 per the three cases (PlaneOfBlocks.cpp:1470-1485)
     v1 = v_cc
