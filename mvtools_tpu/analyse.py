@@ -1564,11 +1564,24 @@ def estimate_global_mv_doubled(vx, vy, pel_level: int):
     half = freq_size >> 1
 
     def most_frequent(v):
-        idx = half + v.reshape(-1)
-        valid = (idx >= 0) & (idx < freq_size)
-        cidx = jnp.clip(idx, 0, freq_size - 1)
-        hist = jnp.zeros((freq_size,), I32).at[cidx].add(valid.astype(I32))
-        return _i32(jnp.argmax(hist) - half)  # argmax = first max
+        # reference: histogram argmax, first max wins = smallest value
+        # among the modes (PlaneOfBlocks.cpp:1568-1599).  A scatter-add
+        # histogram is slow on TPU; sort + run lengths is equivalent:
+        # search bounds keep |v| << half, so every value is in range
+        # and the leftmost longest run is exactly the histogram argmax.
+        vals = jnp.sort(v.reshape(-1))
+        n = vals.shape[0]
+        pos = jnp.arange(n, dtype=I32)
+        start_flag = jnp.concatenate(
+            [jnp.ones((1,), bool), vals[1:] != vals[:-1]])
+        end_flag = jnp.concatenate(
+            [vals[1:] != vals[:-1], jnp.ones((1,), bool)])
+        run_start = jax.lax.cummax(jnp.where(start_flag, pos, -1))
+        run_len = pos - run_start + 1
+        score = jnp.where(end_flag, run_len, 0)
+        k = jnp.argmax(score)               # first max = smallest value
+        mode = jax.lax.dynamic_slice(vals, (k,), (1,))[0]
+        return _i32(mode)
 
     medianx = most_frequent(vx)
     mediany = most_frequent(vy)
