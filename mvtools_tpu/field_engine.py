@@ -122,9 +122,11 @@ class FieldProber:
 
     def _fetch_ref_blocks(self, cy, cx):
         """[nblk, K, bs, bs] i32 ref blocks at padded pel positions
-        (window-DMA fetch kernel on TPU, vmapped slices elsewhere)."""
+        (window-DMA fetch kernel on TPU, vmapped slices elsewhere and
+        for tiny block counts — see probe_ops.TINY_PROBE)."""
         bs_y, bs_x = self.bs[1], self.bs[0]
-        if jax.default_backend() == "tpu":
+        tiny = cy.shape[0] * cy.shape[1] <= probe_ops.TINY_PROBE
+        if jax.default_backend() == "tpu" and not tiny:
             return probe_ops.fetch_blocks_pallas(self.stack, cy, cx,
                                                  bs_y, bs_x, self.pel)
         pelm = self.pel - 1

@@ -500,12 +500,22 @@ def probe_sads_pallas(stack, cand_y, cand_x, src_blocks, offsets,
     return out
 
 
+# below this many (block, candidate) pairs the vmapped-slice XLA path
+# beats the Pallas kernel's fixed costs — and the deepest coarse pyramid
+# levels (~tens of blocks) never touch Pallas at all (the 1080p
+# levels=0 "TPU kernel fault" lives somewhere in that regime)
+TINY_PROBE = 64
+
+
 def probe_sads(stack, cand_y, cand_x, src_blocks, offsets,
                bs_y: int, bs_x: int, pel: int, stats: str = "sad"):
-    """Backend dispatch: Pallas on TPU, vmapped slices elsewhere.
-    Inside a `spatial_axis` context the block axis is sharded over the
-    mesh axis and the SAD columns all_gathered."""
-    impl = (probe_sads_pallas if jax.default_backend() == "tpu"
+    """Backend dispatch: Pallas on TPU, vmapped slices elsewhere (and
+    for tiny block counts).  Inside a `spatial_axis` context the block
+    axis is sharded over the mesh axis and the SAD columns
+    all_gathered."""
+    tiny = cand_y.shape[0] * cand_y.shape[1] <= TINY_PROBE
+    impl = (probe_sads_pallas
+            if jax.default_backend() == "tpu" and not tiny
             else probe_sads_xla)
     return spatial_shard(
         lambda cy, cx, sb: impl(stack, cy, cx, sb.astype(I32), offsets,
