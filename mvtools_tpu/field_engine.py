@@ -381,17 +381,25 @@ def map_radius(ctx) -> int:
 
 def map_supported(ctx, r: int) -> bool:
     """Static predicate: MapProber usable on this level's geometry
-    (8-bit data, windows fit the padded stacks, chroma pitch integral).
-    dctmode gating is the caller's (maps hold plain SADs only)."""
+    (block sums f32-exact, windows fit the padded stacks, chroma pitch
+    integral).  dctmode gating is the caller's (plain SADs only)."""
     from .ops import sadmap
-    if ctx.bits != 8:
+    bsx, bsy = ctx.blk_size
+    # the kernel's f32 column-sum + pooling matmul is exact while block
+    # sums stay under 2^24 (8-bit: every size; 16-bit: up to 16x16)
+    if ((1 << ctx.bits) - 1) * bsx * bsy >= (1 << 24):
+        return False
+    if ctx.bits != 8 and jax.default_backend() == "tpu":
+        # the Pallas kernel's DMA base alignment (8 sublanes) is tuned
+        # for the u8 (32, 128) VMEM tile; u16 windows need 16-sublane
+        # alignment — unvalidated on hardware, so deep bits keep probes
+        # on TPU (the XLA map path still serves CPU/tests)
         return False
     if ctx.pel > 2:
         # the pel-4 hex2 walk drifts up to ~11 pel from its start, past
         # any affordable grid radius (measured: rotation parity 1.039 at
         # r=10 vs the 1.02 gate); the window probes stay in charge there
         return False
-    bsx, bsy = ctx.blk_size
     pitch = bsx - ctx.overlap[0]
     tile = _map_tile(ctx)
     hp = ctx.padded[1] + 2 * FieldProber.PAD + probe_ops.ALIGN_SLACK_Y

@@ -21,8 +21,9 @@ candidate.  Candidates outside the grid report INVALID_SAD and lose
 every cost comparison (same convention as the tiled probe; the dense
 zero trial guarantees a real cost bound exists for every block).
 
-8-bit sources only (per-block SADs <= 255*256 stay exact in the f32
-pooling matmul); the field engine falls back to probes for deeper bits.
+Sources up to 16-bit as long as a block sum stays under 2^24 (exact in
+the f32 pooling matmul — every 8-bit size, 16-bit up to 16x16); the
+field engine falls back to probes beyond that (map_supported).
 """
 
 from __future__ import annotations

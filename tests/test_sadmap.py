@@ -122,17 +122,20 @@ def test_sad_map_pallas_matches_xla(pel, bs, ov, r):
     np.testing.assert_array_equal(got, want)
 
 
-def _clip_pair(rng, w, h, chroma, shift):
+def _clip_pair(rng, w, h, chroma, shift, bits=8):
     fam = ColorFamily.YUV420 if chroma else ColorFamily.GRAY
-    fmt = VideoFormat(w, h, 8, fam)
-    base = rng.integers(0, 256, (h + 64, w + 64), np.uint8)
-    base = ((base.astype(np.int32) + np.roll(base, 1, 0)
-             + np.roll(base, 1, 1)) // 3).astype(np.uint8)
+    fmt = VideoFormat(w, h, bits, fam)
+    peak = (1 << bits) - 1
+    dt = np.uint8 if bits == 8 else np.uint16
+    base = rng.integers(0, peak + 1, (h + 64, w + 64), np.int32)
+    base = ((base + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1)) // 3).astype(dt)
     dy, dx = shift
     src = [jnp.asarray(base[32:32 + h, 32:32 + w])]
     ref = [jnp.asarray(base[32 + dy:32 + dy + h, 32 + dx:32 + dx + w])]
     if chroma:
-        cb = rng.integers(0, 256, (h // 2 + 64, w // 2 + 64), np.uint8)
+        cb = rng.integers(0, peak + 1,
+                          (h // 2 + 64, w // 2 + 64)).astype(dt)
         for off in (0, 1):
             src.append(jnp.asarray(cb[32 + off:32 + off + h // 2,
                                       32:32 + w // 2]))
@@ -147,6 +150,7 @@ ENGINE_CASES = [
     ("chroma", True, 8, 2, 2, (2, 3), True),
     ("qpel", False, 0, 4, 2, (1, 2), True),
     ("bigmotion", False, 0, 2, 3, (18, 25), False),
+    ("deep16", False, 0, 2, 2, (2, 3), True),
 ]
 
 
@@ -176,7 +180,8 @@ def test_map_lockstep_vs_probe_lockstep_inner(name, chroma, overlap,
     if not os.environ.get("MVT_SADMAP_INNER"):
         pytest.skip("run via the subprocess wrapper")
     rng = np.random.default_rng(3 + pel + levels)
-    fmt, src, ref = _clip_pair(rng, 256, 160, chroma, shift)
+    bits = 16 if name == "deep16" else 8
+    fmt, src, ref = _clip_pair(rng, 256, 160, chroma, shift, bits=bits)
     sspec = SuperConfig(pel=pel, levels=levels,
                         chroma=chroma).validate(fmt)
     aspec = AnalyseConfig(blksize=16, levels=levels, overlap=overlap,
