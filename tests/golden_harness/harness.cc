@@ -33,9 +33,16 @@ extern "C" {
 #include "GroupOfPlanes.h"
 #include "MVAnalysisData.h"
 #include "Overlap.h"
+#include "MaskFun.h"
+#include "SimpleResize.h"
 }
 #include "VSHelper4.h"
 #include "MVDegrains.h"
+
+/* MaskFun/SimpleResize reference g_cpuinfo (set by the plugin's
+ * EntryPoint); the harness always runs opt=0 scalar */
+extern "C" uint32_t g_cpuinfo;
+uint32_t g_cpuinfo = 0;
 
 static std::vector<uint8_t> read_file(const char *path, size_t expect) {
     FILE *f = fopen(path, "rb");
@@ -112,8 +119,9 @@ int main(int argc, char **argv) {
     bool degrain_mode = !strcmp(mode, "degrain1");
     bool comp_mode = !strcmp(mode, "compensate");
     bool recalc_mode = !strcmp(mode, "recalculate");
+    bool flowinter_mode = !strcmp(mode, "flowinter");
     if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
-        && !recalc_mode) {
+        && !recalc_mode && !flowinter_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -241,6 +249,153 @@ int main(int argc, char **argv) {
         fgopDeinit(&fgop);
         mvgofDeinit(&srcGOF);
         mvgofDeinit(&refGOF);
+        return 0;
+    }
+
+    if (flowinter_mode) {
+        /* flowinter: Super -> MAnalyse bwd/fwd -> small vector fields +
+         * occlusion masks -> SimpleResize -> Finest (Merge4PlanesToBig)
+         * -> FlowInter kernel, no extra fields (mvflowinterGetFrame
+         * MVFlowInter.c:145-378, geometry :655-676).  Extra args:
+         *   <time256> <ml> <src.raw> <ref.raw> <out_frame.raw> */
+        int time256 = atoi(argv[a++]);
+        double ml = atof(argv[a++]);
+        const char *src_path = argv[a++], *ref_path = argv[a++];
+        const char *out_path = argv[a++];
+
+        auto src = read_file(src_path, (size_t)w * h);
+        auto ref = read_file(ref_path, (size_t)w * h);
+        auto sup_src = build_super(src.data(), g, sharp, rfilter);
+        auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        /* mvbw at frame n: src super n, ref super n+1; mvfw at n+1:
+         * src super n+1, ref super n (MVAnalyse.c:81-109) */
+        auto vec_b = run_search(sup_src, sup_ref);
+        auto vec_f = run_search(sup_ref, sup_src);
+
+        MVAnalysisData ad;
+        memset(&ad, 0, sizeof(ad));
+        ad.nBlkSizeX = blkx;
+        ad.nBlkSizeY = blky;
+        ad.nPel = pel;
+        ad.nLvCount = levels;
+        ad.nOverlapX = ovx;
+        ad.nOverlapY = ovy;
+        ad.nBlkX = nblkx;
+        ad.nBlkY = nblky;
+        ad.nWidth = w;
+        ad.nHeight = h;
+        ad.xRatioUV = g.rx;
+        ad.yRatioUV = g.ry;
+        ad.bitsPerSample = 8;
+        FakeGroupOfPlanes fgopB, fgopF;
+        fgopInit(&fgopB, &ad);
+        fgopInit(&fgopF, &ad);
+        fgopUpdate(&fgopB, vec_b.data());
+        fgopUpdate(&fgopF, vec_f.data());
+
+        int nBlkXP = nblkx, nBlkYP = nblky;
+        while (nBlkXP * (blkx - ovx) + ovx < w)
+            nBlkXP++;
+        while (nBlkYP * (blky - ovy) + ovy < h)
+            nBlkYP++;
+        int nWidthP = nBlkXP * (blkx - ovx) + ovx;
+        int nHeightP = nBlkYP * (blky - ovy) + ovy;
+        int VPitchY = (nWidthP + 15) & ~15;
+        size_t nsm = (size_t)nBlkXP * nBlkYP;
+
+        std::vector<int16_t> VXSmallB(nsm), VYSmallB(nsm);
+        std::vector<int16_t> VXSmallF(nsm), VYSmallF(nsm);
+        MakeVectorSmallMasks(&fgopB, nblkx, nblky, VXSmallB.data(),
+                             nBlkXP, VYSmallB.data(), nBlkXP);
+        MakeVectorSmallMasks(&fgopF, nblkx, nblky, VXSmallF.data(),
+                             nBlkXP, VYSmallF.data(), nBlkXP);
+        CheckAndPadSmallY(VXSmallB.data(), VYSmallB.data(), nBlkXP,
+                          nBlkYP, nblkx, nblky);
+        CheckAndPadSmallY(VXSmallF.data(), VYSmallF.data(), nBlkXP,
+                          nBlkYP, nblkx, nblky);
+        std::vector<uint8_t> MaskSmallB(nsm), MaskSmallF(nsm);
+        MakeVectorOcclusionMaskTime(&fgopB, 1, nblkx, nblky, ml, 1.0,
+                                    pel, MaskSmallB.data(), nBlkXP,
+                                    256 - time256, blkx - ovx,
+                                    blky - ovy);
+        MakeVectorOcclusionMaskTime(&fgopF, 0, nblkx, nblky, ml, 1.0,
+                                    pel, MaskSmallF.data(), nBlkXP,
+                                    time256, blkx - ovx, blky - ovy);
+        CheckAndPadMaskSmall(MaskSmallB.data(), nBlkXP, nBlkYP, nblkx,
+                             nblky);
+        CheckAndPadMaskSmall(MaskSmallF.data(), nBlkXP, nBlkYP, nblkx,
+                             nblky);
+
+        SimpleResize upsizer;
+        simpleInit(&upsizer, nWidthP, nHeightP, nBlkXP, nBlkYP, w, h,
+                   pel, /*opt=*/0);
+        size_t nfull = (size_t)nHeightP * VPitchY;
+        std::vector<int16_t> VXFullB(nfull), VYFullB(nfull);
+        std::vector<int16_t> VXFullF(nfull), VYFullF(nfull);
+        upsizer.simpleResize_int16_t(&upsizer, VXFullB.data(), VPitchY,
+                                     VXSmallB.data(), nBlkXP, 1);
+        upsizer.simpleResize_int16_t(&upsizer, VYFullB.data(), VPitchY,
+                                     VYSmallB.data(), nBlkXP, 0);
+        upsizer.simpleResize_int16_t(&upsizer, VXFullF.data(), VPitchY,
+                                     VXSmallF.data(), nBlkXP, 1);
+        upsizer.simpleResize_int16_t(&upsizer, VYFullF.data(), VPitchY,
+                                     VYSmallF.data(), nBlkXP, 0);
+        std::vector<uint8_t> MaskFullB(nfull), MaskFullF(nfull);
+        upsizer.simpleResize_uint8_t(&upsizer, MaskFullB.data(),
+                                     VPitchY, MaskSmallB.data(),
+                                     nBlkXP, 0);
+        upsizer.simpleResize_uint8_t(&upsizer, MaskFullF.data(),
+                                     VPitchY, MaskSmallF.data(),
+                                     nBlkXP, 0);
+
+        /* finest frames (MVFinest.c:76-123) */
+        auto make_fine = [&](std::vector<uint8_t> &sup) {
+            MVGroupOfFrames gof;
+            mvgofInit(&gof, levels, w, h, pel, hpad, vpad, YPLANE, 0,
+                      g.rx, g.ry, 8);
+            uint8_t *pS[3] = { sup.data(), nullptr, nullptr };
+            int pitch3[3] = { g.pitch, 0, 0 };
+            mvgofUpdate(&gof, pS, pitch3);
+            MVPlane *pl = gof.frames[0]->planes[0];
+            int fpw = pl->nPaddedWidth, fph = pl->nPaddedHeight;
+            int finePitch = fpw * pel;
+            std::vector<uint8_t> fine((size_t)fph * pel * finePitch);
+            if (pel == 1) {
+                for (int y = 0; y < fph; y++)
+                    memcpy(fine.data() + (size_t)y * finePitch,
+                           mvpGetAbsolutePointer(pl, 0, 0)
+                               + (size_t)y * pl->nPitch, fpw);
+            } else {
+                Merge4PlanesToBig(fine.data(), finePitch,
+                                  mvpGetAbsolutePointer(pl, 0, 0),
+                                  mvpGetAbsolutePointer(pl, 1, 0),
+                                  mvpGetAbsolutePointer(pl, 0, 1),
+                                  mvpGetAbsolutePointer(pl, 1, 1),
+                                  fpw, fph, pl->nPitch, 8);
+            }
+            mvgofDeinit(&gof);
+            return fine;
+        };
+        auto fine_src = make_fine(sup_src);
+        auto fine_ref = make_fine(sup_ref);
+        int finePitch = (w + 2 * hpad) * pel;
+        int nOffsetY = finePitch * vpad * pel + hpad * pel;
+
+        FlowInterSimpleFunction fsimple;
+        FlowInterFunction finter;
+        FlowInterExtraFunction fextra;
+        selectFlowInterFunctions(&fsimple, &finter, &fextra, 8, 0);
+        std::vector<uint8_t> dst((size_t)w * h);
+        finter(dst.data(), w, fine_ref.data() + nOffsetY,
+               fine_src.data() + nOffsetY, finePitch,
+               VXFullB.data(), VXFullF.data(), VYFullB.data(),
+               VYFullF.data(), MaskFullB.data(), MaskFullF.data(),
+               VPitchY, w, h, time256, pel);
+        write_file(out_path, dst.data(), dst.size());
+        printf("flowinter %dx%d time256 %d nBlkP %dx%d\n", w, h,
+               time256, nBlkXP, nBlkYP);
+        fgopDeinit(&fgopB);
+        fgopDeinit(&fgopF);
         return 0;
     }
 

@@ -395,3 +395,61 @@ def test_golden_super_pyramid_bytes(harness, tmp_path):
             rows = got[base:base + pitch * ph].reshape(ph, pitch)[:, :pw]
             np.testing.assert_array_equal(
                 arr[i], rows, err_msg=f"super level {lv} subplane {i}")
+
+
+@pytest.mark.parametrize("overlap,pel,time,ml",
+                         [(0, 2, 50.0, 100.0), (8, 1, 25.0, 50.0)])
+def test_golden_flowinter_frame_bytes(harness, tmp_path, overlap, pel,
+                                      time, ml):
+    """Full Flow-family golden: the C reference's Super -> MAnalyse
+    bwd/fwd -> MakeVectorSmallMasks/CheckAndPadSmallY ->
+    MakeVectorOcclusionMaskTime -> SimpleResize (14-bit tables, vector
+    limiting) -> Finest (Merge4PlanesToBig) -> FlowInter kernel
+    (MVFlowInter.c:145-378) vs our flowinter(), byte-for-byte on the
+    interpolated frame."""
+    from mvtools_tpu.flowinter import FlowInterConfig, flowinter
+    import dataclasses
+    rng = np.random.default_rng(47 + overlap + pel)
+    w, h = 192, 128
+    src, ref = _frames(rng, w, h)
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=pel, levels=0, chroma=False).validate(fmt)
+    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
+                         search=SearchType.HEX2, searchparam=2,
+                         truemotion=True, chroma=False)
+    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+    time256 = int(time * 256 / 100)
+
+    sp, rp, op = (str(tmp_path / n) for n in
+                  ("src.raw", "ref.raw", "out.raw"))
+    src.tofile(sp)
+    ref.tofile(rp)
+    m = aspec_b.meta
+    args = [harness, "flowinter", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec_b.search)), str(aspec_b.n_search_param),
+            str(aspec_b.pel_search), str(aspec_b.lambda_),
+            str(aspec_b.lsad), str(aspec_b.pnew), str(aspec_b.plevel),
+            str(int(aspec_b.global_)), str(aspec_b.pzero),
+            str(aspec_b.pglobal), str(aspec_b.badsad),
+            str(aspec_b.badrange), str(int(aspec_b.meander)),
+            str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
+            str(time256), str(ml), sp, rp, op]
+    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    want = np.fromfile(op, np.uint8).reshape(h, w)
+
+    s_src = mvt.build_super([jnp.asarray(src)], sspec)
+    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
+    mv_b = mvt.analyse(s_src, s_ref, aspec_b, engine="exact")
+    mv_f = mvt.analyse(s_ref, s_src, aspec_f, engine="exact")
+    cfg = FlowInterConfig(time=time, ml=ml, thscd1=16320, thscd2=255)
+    out = flowinter([jnp.asarray(src)], [jnp.asarray(ref)], s_src,
+                    s_ref, mv_b, mv_f, m, cfg)
+    np.testing.assert_array_equal(np.asarray(out[0]), want,
+                                  err_msg=r.stdout)
