@@ -120,8 +120,9 @@ int main(int argc, char **argv) {
     bool comp_mode = !strcmp(mode, "compensate");
     bool recalc_mode = !strcmp(mode, "recalculate");
     bool flowinter_mode = !strcmp(mode, "flowinter");
+    bool yuv_mode = !strcmp(mode, "yuvanalyse");
     if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
-        && !recalc_mode && !flowinter_mode) {
+        && !recalc_mode && !flowinter_mode && !yuv_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -247,6 +248,80 @@ int main(int argc, char **argv) {
                (unsigned)out.size(), rnblkx, rnblky, (long long)thSAD);
         gopDeinit(&gop);
         fgopDeinit(&fgop);
+        mvgofDeinit(&srcGOF);
+        mvgofDeinit(&refGOF);
+        return 0;
+    }
+
+    if (yuv_mode) {
+        /* chroma motion search golden: YUV supers + gopSearchMVs with
+         * MOTION_USE_CHROMA_MOTION (MVAnalyse.c:486-489, chroma SADs
+         * via pobGetRefBlockU/V negative-bias rounding).  Extra args:
+         *   <srcY> <srcU> <srcV> <refY> <refU> <refV> <out.bin> */
+        int wc = w / g.rx, hc = h / g.ry;
+        int pitch_c = g.pitch / g.rx;
+        int suph_c = g.super_h / g.ry;
+
+        auto build_yuv = [&](const uint8_t *y, const uint8_t *u,
+                             const uint8_t *v,
+                             std::vector<uint8_t> &by,
+                             std::vector<uint8_t> &bu,
+                             std::vector<uint8_t> &bv) {
+            by.assign((size_t)g.pitch * g.super_h, 0);
+            bu.assign((size_t)pitch_c * suph_c, 0);
+            bv.assign((size_t)pitch_c * suph_c, 0);
+            MVGroupOfFrames gof;
+            mvgofInit(&gof, g.levels, g.w, g.h, g.pel, g.hpad, g.vpad,
+                      YUVPLANES, 0, g.rx, g.ry, 8);
+            uint8_t *pDst[3] = { by.data(), bu.data(), bv.data() };
+            int pitch3[3] = { g.pitch, pitch_c, pitch_c };
+            mvgofUpdate(&gof, pDst, pitch3);
+            mvfFillPlane(gof.frames[0], y, g.w, 0);
+            mvfFillPlane(gof.frames[0], u, wc, 1);
+            mvfFillPlane(gof.frames[0], v, wc, 2);
+            mvgofReduce(&gof, YUVPLANES, rfilter);
+            mvgofPad(&gof, YUVPLANES);
+            mvgofRefine(&gof, YUVPLANES, sharp);
+            mvgofDeinit(&gof);
+        };
+
+        auto sy = read_file(argv[a++], (size_t)w * h);
+        auto su = read_file(argv[a++], (size_t)wc * hc);
+        auto sv = read_file(argv[a++], (size_t)wc * hc);
+        auto ry_ = read_file(argv[a++], (size_t)w * h);
+        auto ru = read_file(argv[a++], (size_t)wc * hc);
+        auto rv = read_file(argv[a++], (size_t)wc * hc);
+        const char *out_path = argv[a++];
+
+        std::vector<uint8_t> sby, sbu, sbv, rby, rbu, rbv;
+        build_yuv(sy.data(), su.data(), sv.data(), sby, sbu, sbv);
+        build_yuv(ry_.data(), ru.data(), rv.data(), rby, rbu, rbv);
+
+        GroupOfPlanes gop;
+        gopInit(&gop, blkx, blky, levels, pel,
+                /*nMotionFlags=*/0x00000008 /* MOTION_USE_CHROMA_MOTION */,
+                /*nCPUFlags=*/0, ovx, ovy, nblkx, nblky, g.rx, g.ry,
+                /*divideExtra=*/0, /*bitsPerSample=*/8);
+        MVGroupOfFrames srcGOF, refGOF;
+        mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YUVPLANES, 0,
+                  g.rx, g.ry, 8);
+        mvgofInit(&refGOF, levels, w, h, pel, hpad, vpad, YUVPLANES, 0,
+                  g.rx, g.ry, 8);
+        uint8_t *pS[3] = { sby.data(), sbu.data(), sbv.data() };
+        uint8_t *pR[3] = { rby.data(), rbu.data(), rbv.data() };
+        int pitch3[3] = { g.pitch, pitch_c, pitch_c };
+        mvgofUpdate(&srcGOF, pS, pitch3);
+        mvgofUpdate(&refGOF, pR, pitch3);
+        std::vector<uint8_t> out(gopGetArraySize(&gop), 0);
+        gopSearchMVs(&gop, &srcGOF, &refGOF, (SearchType)searchtype,
+                     searchparam, pelsearch, lambda, lsad, pnew, plevel,
+                     global, out.data(), /*fieldShift=*/0,
+                     /*DCT=*/nullptr, /*dctmode=*/0, pzero, pglobal,
+                     badsad, badrange, meander, trymany,
+                     (SearchType)coarse);
+        write_file(out_path, out.data(), out.size());
+        printf("yuvanalyse blob %u bytes\n", (unsigned)out.size());
+        gopDeinit(&gop);
         mvgofDeinit(&srcGOF);
         mvgofDeinit(&refGOF);
         return 0;

@@ -453,3 +453,63 @@ def test_golden_flowinter_frame_bytes(harness, tmp_path, overlap, pel,
                     s_ref, mv_b, mv_f, m, cfg)
     np.testing.assert_array_equal(np.asarray(out[0]), want,
                                   err_msg=r.stdout)
+
+
+@pytest.mark.parametrize("overlap,pel", [(0, 2), (8, 1)])
+def test_golden_yuv_analyse_blob(harness, tmp_path, overlap, pel):
+    """Chroma motion search golden: the C reference's YUV420 Super +
+    gopSearchMVs with MOTION_USE_CHROMA_MOTION (chroma SADs via the
+    pobGetRefBlockU/V negative-bias rounding, PlaneOfBlocks.cpp:57-77)
+    vs our analyse(chroma=True, engine="exact"), byte-for-byte."""
+    rng = np.random.default_rng(61 + overlap + pel)
+    w, h = 192, 128
+    src_y, ref_y = _frames(rng, w, h)
+    src_u, ref_u = _frames(rng, w // 2, h // 2)
+    src_v, ref_v = _frames(rng, w // 2, h // 2)
+    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
+    sspec = SuperConfig(pel=pel, levels=0, chroma=True).validate(fmt)
+    aspec = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
+                          search=SearchType.HEX2, searchparam=2,
+                          truemotion=True, chroma=True).validate(sspec)
+
+    paths = {}
+    for name, arr in (("sy", src_y), ("su", src_u), ("sv", src_v),
+                      ("ry", ref_y), ("ru", ref_u), ("rv", ref_v)):
+        paths[name] = str(tmp_path / f"{name}.raw")
+        arr.tofile(paths[name])
+    op = str(tmp_path / "vec.bin")
+    m = aspec.meta
+    args = [harness, "yuvanalyse", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec.search)), str(aspec.n_search_param),
+            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
+            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
+            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
+            str(aspec.badrange), str(int(aspec.meander)),
+            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
+            paths["sy"], paths["su"], paths["sv"],
+            paths["ry"], paths["ru"], paths["rv"], op]
+    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    with open(op, "rb") as f:
+        blob = f.read()
+
+    s_src = mvt.build_super(
+        [jnp.asarray(src_y), jnp.asarray(src_u), jnp.asarray(src_v)],
+        sspec)
+    s_ref = mvt.build_super(
+        [jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v)],
+        sspec)
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    want = decode_mv_field(blob, aspec.meta)
+    for lv in range(len(mv.levels)):
+        for k in ("x", "y", "sad"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mv.levels[lv], k)),
+                np.asarray(getattr(want.levels[lv], k)),
+                err_msg=f"level {lv} {k}")
+    assert encode_mv_field(mv) == blob
