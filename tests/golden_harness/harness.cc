@@ -97,6 +97,33 @@ static SuperGeom make_geom(int w, int h, int pel, int levels, int hpad,
     return g;
 }
 
+/* three-plane super build (MVSuper.c:60-105 with nModeYUV=YUVPLANES) */
+static void build_super_yuv(const SuperGeom &g, int sharp, int rfilter,
+                            const uint8_t *y, const uint8_t *u,
+                            const uint8_t *v, std::vector<uint8_t> &by,
+                            std::vector<uint8_t> &bu,
+                            std::vector<uint8_t> &bv) {
+    int wc = g.w / g.rx;
+    int pitch_c = g.pitch / g.rx;
+    int suph_c = g.super_h / g.ry;
+    by.assign((size_t)g.pitch * g.super_h, 0);
+    bu.assign((size_t)pitch_c * suph_c, 0);
+    bv.assign((size_t)pitch_c * suph_c, 0);
+    MVGroupOfFrames gof;
+    mvgofInit(&gof, g.levels, g.w, g.h, g.pel, g.hpad, g.vpad,
+              YUVPLANES, 0, g.rx, g.ry, 8);
+    uint8_t *pDst[3] = { by.data(), bu.data(), bv.data() };
+    int pitch3[3] = { g.pitch, pitch_c, pitch_c };
+    mvgofUpdate(&gof, pDst, pitch3);
+    mvfFillPlane(gof.frames[0], y, g.w, 0);
+    mvfFillPlane(gof.frames[0], u, wc, 1);
+    mvfFillPlane(gof.frames[0], v, wc, 2);
+    mvgofReduce(&gof, YUVPLANES, rfilter);
+    mvgofPad(&gof, YUVPLANES);
+    mvgofRefine(&gof, YUVPLANES, sharp);
+    mvgofDeinit(&gof);
+}
+
 int main(int argc, char **argv) {
     if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 2; }
     const char *mode = argv[1];
@@ -121,8 +148,10 @@ int main(int argc, char **argv) {
     bool recalc_mode = !strcmp(mode, "recalculate");
     bool flowinter_mode = !strcmp(mode, "flowinter");
     bool yuv_mode = !strcmp(mode, "yuvanalyse");
+    bool yuvdeg_mode = !strcmp(mode, "yuvdegrain1");
     if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
-        && !recalc_mode && !flowinter_mode && !yuv_mode) {
+        && !recalc_mode && !flowinter_mode && !yuv_mode
+        && !yuvdeg_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -260,29 +289,13 @@ int main(int argc, char **argv) {
          *   <srcY> <srcU> <srcV> <refY> <refU> <refV> <out.bin> */
         int wc = w / g.rx, hc = h / g.ry;
         int pitch_c = g.pitch / g.rx;
-        int suph_c = g.super_h / g.ry;
 
         auto build_yuv = [&](const uint8_t *y, const uint8_t *u,
                              const uint8_t *v,
                              std::vector<uint8_t> &by,
                              std::vector<uint8_t> &bu,
                              std::vector<uint8_t> &bv) {
-            by.assign((size_t)g.pitch * g.super_h, 0);
-            bu.assign((size_t)pitch_c * suph_c, 0);
-            bv.assign((size_t)pitch_c * suph_c, 0);
-            MVGroupOfFrames gof;
-            mvgofInit(&gof, g.levels, g.w, g.h, g.pel, g.hpad, g.vpad,
-                      YUVPLANES, 0, g.rx, g.ry, 8);
-            uint8_t *pDst[3] = { by.data(), bu.data(), bv.data() };
-            int pitch3[3] = { g.pitch, pitch_c, pitch_c };
-            mvgofUpdate(&gof, pDst, pitch3);
-            mvfFillPlane(gof.frames[0], y, g.w, 0);
-            mvfFillPlane(gof.frames[0], u, wc, 1);
-            mvfFillPlane(gof.frames[0], v, wc, 2);
-            mvgofReduce(&gof, YUVPLANES, rfilter);
-            mvgofPad(&gof, YUVPLANES);
-            mvgofRefine(&gof, YUVPLANES, sharp);
-            mvgofDeinit(&gof);
+            build_super_yuv(g, sharp, rfilter, y, u, v, by, bu, bv);
         };
 
         auto sy = read_file(argv[a++], (size_t)w * h);
@@ -474,7 +487,7 @@ int main(int argc, char **argv) {
         return 0;
     }
 
-    if (!degrain_mode && !comp_mode) {
+    if (!degrain_mode && !comp_mode && !yuvdeg_mode) {
         const char *src_path = argv[a++], *ref_path = argv[a++];
         const char *out_path = argv[a++];
         int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
@@ -663,6 +676,236 @@ int main(int argc, char **argv) {
         fgopDeinit(&fgop);
         mvgofDeinit(&srcGOF);
         mvgofDeinit(&refGOF);
+        return 0;
+    }
+
+    if (yuvdeg_mode) {
+        /* yuvdegrain1: YUV420 Super -> chroma MAnalyse(bwd,fwd) ->
+         * MDegrain1 over all three planes (mvdegrainGetFrame
+         * MVDegrains.cpp:179-330: per-plane useBlock with the chroma
+         * coordinate halving, thSADC, per-plane overlap windows).
+         * Extra args: <thsad> <thsadc> <thscd1> <thscd2>
+         *   <srcY> <srcU> <srcV> <refbY> <refbU> <refbV>
+         *   <reffY> <reffU> <reffV> <outY> <outU> <outV> */
+        long long thsad_raw = atoll(argv[a++]);
+        long long thsadc_raw = atoll(argv[a++]);
+        long long thscd1 = atoll(argv[a++]);
+        int thscd2 = atoi(argv[a++]);
+        int wc = w / g.rx, hc = h / g.ry;
+        int pitch_c = g.pitch / g.rx;
+        auto rf = [&](size_t n) { return read_file(argv[a++], n); };
+        auto sy = rf((size_t)w * h), su = rf((size_t)wc * hc),
+             sv = rf((size_t)wc * hc);
+        auto by_ = rf((size_t)w * h), bu_ = rf((size_t)wc * hc),
+             bv_ = rf((size_t)wc * hc);
+        auto fy = rf((size_t)w * h), fu = rf((size_t)wc * hc),
+             fv = rf((size_t)wc * hc);
+        const char *oy_p = argv[a++], *ou_p = argv[a++],
+                   *ov_p = argv[a++];
+
+        std::vector<uint8_t> ssy, ssu, ssv, sby, sbu, sbv, sfy, sfu, sfv;
+        build_super_yuv(g, sharp, rfilter, sy.data(), su.data(),
+                        sv.data(), ssy, ssu, ssv);
+        build_super_yuv(g, sharp, rfilter, by_.data(), bu_.data(),
+                        bv_.data(), sby, sbu, sbv);
+        build_super_yuv(g, sharp, rfilter, fy.data(), fu.data(),
+                        fv.data(), sfy, sfu, sfv);
+
+        auto yuv_search = [&](std::vector<uint8_t> *ss,
+                              std::vector<uint8_t> *sr) {
+            GroupOfPlanes gop;
+            gopInit(&gop, blkx, blky, levels, pel, /*chroma*/ 0x8,
+                    0, ovx, ovy, nblkx, nblky, g.rx, g.ry, 0, 8);
+            MVGroupOfFrames sGOF, rGOF;
+            mvgofInit(&sGOF, levels, w, h, pel, hpad, vpad, YUVPLANES,
+                      0, g.rx, g.ry, 8);
+            mvgofInit(&rGOF, levels, w, h, pel, hpad, vpad, YUVPLANES,
+                      0, g.rx, g.ry, 8);
+            uint8_t *pS[3] = { ss[0].data(), ss[1].data(), ss[2].data() };
+            uint8_t *pR[3] = { sr[0].data(), sr[1].data(), sr[2].data() };
+            int pitch3[3] = { g.pitch, pitch_c, pitch_c };
+            mvgofUpdate(&sGOF, pS, pitch3);
+            mvgofUpdate(&rGOF, pR, pitch3);
+            std::vector<uint8_t> out(gopGetArraySize(&gop), 0);
+            gopSearchMVs(&gop, &sGOF, &rGOF, (SearchType)searchtype,
+                         searchparam, pelsearch, lambda, lsad, pnew,
+                         plevel, global, out.data(), 0, nullptr, 0,
+                         pzero, pglobal, badsad, badrange, meander,
+                         trymany, (SearchType)coarse);
+            gopDeinit(&gop);
+            mvgofDeinit(&sGOF);
+            mvgofDeinit(&rGOF);
+            return out;
+        };
+        std::vector<uint8_t> ssrc[3] = { ssy, ssu, ssv };
+        std::vector<uint8_t> srb[3] = { sby, sbu, sbv };
+        std::vector<uint8_t> srf[3] = { sfy, sfu, sfv };
+        auto vb = yuv_search(ssrc, srb);
+        auto vf = yuv_search(ssrc, srf);
+
+        MVAnalysisData ad;
+        memset(&ad, 0, sizeof(ad));
+        ad.nBlkSizeX = blkx;
+        ad.nBlkSizeY = blky;
+        ad.nPel = pel;
+        ad.nLvCount = levels;
+        ad.nOverlapX = ovx;
+        ad.nOverlapY = ovy;
+        ad.nBlkX = nblkx;
+        ad.nBlkY = nblky;
+        ad.nWidth = w;
+        ad.nHeight = h;
+        ad.xRatioUV = g.rx;
+        ad.yRatioUV = g.ry;
+        ad.bitsPerSample = 8;
+        /* scaleThSCD with the chroma motion flag (MVAnalysisData.c:7-31) */
+        int64_t nSCD1 = thscd1 * (blkx * blky) / 64;
+        nSCD1 += nSCD1 / (g.rx * g.ry) * 2;
+        int nSCD2 = thscd2 * nblkx * nblky / 256;
+        int64_t thSAD[3];
+        thSAD[0] = thsad_raw * nSCD1 / thscd1;
+        thSAD[1] = thSAD[2] = thsadc_raw * nSCD1 / thscd1;
+
+        FakeGroupOfPlanes fgops[2];
+        fgopInit(&fgops[0], &ad);
+        fgopUpdate(&fgops[0], vb.data());
+        fgopInit(&fgops[1], &ad);
+        fgopUpdate(&fgops[1], vf.data());
+        int isUsable[2] = { fgopIsUsable(&fgops[0], nSCD1, nSCD2),
+                            fgopIsUsable(&fgops[1], nSCD1, nSCD2) };
+
+        MVGroupOfFrames gofs[2];
+        MVPlane **pPlanes[2];
+        std::vector<uint8_t> *refsups[2][3] = { { &sby, &sbu, &sbv },
+                                                { &sfy, &sfu, &sfv } };
+        int pitch3[3] = { g.pitch, pitch_c, pitch_c };
+        for (int r = 0; r < 2; r++) {
+            mvgofInit(&gofs[r], levels, w, h, pel, hpad, vpad,
+                      YUVPLANES, 0, g.rx, g.ry, 8);
+            uint8_t *pR[3] = { refsups[r][0]->data(),
+                               refsups[r][1]->data(),
+                               refsups[r][2]->data() };
+            mvgofUpdate(&gofs[r], pR, pitch3);
+            pPlanes[r] = gofs[r].frames[0]->planes;
+        }
+
+        int nLogPel = pel == 4 ? 2 : pel == 2 ? 1 : 0;
+        int xSubUV = g.rx == 2 ? 1 : 0;
+        int ySubUV = g.ry == 2 ? 1 : 0;
+        const uint8_t *srcp[3] = { sy.data(), su.data(), sv.data() };
+        std::vector<uint8_t> dsts[3] = { sy, su, sv };
+        int pw3[3] = { w, wc, wc };
+        int ph3[3] = { h, hc, hc };
+        int bsx3[3] = { blkx, blkx >> xSubUV, blkx >> xSubUV };
+        int bsy3[3] = { blky, blky >> ySubUV, blky >> ySubUV };
+        int ovx3[3] = { ovx, ovx >> xSubUV, ovx >> xSubUV };
+        int ovy3[3] = { ovy, ovy >> ySubUV, ovy >> ySubUV };
+        bool overlapped = ovx > 0 || ovy > 0;
+
+        for (int plane = 0; plane < 3; plane++) {
+            DenoiseFunction DEG = nullptr;
+            int bw = bsx3[plane], bh = bsy3[plane];
+            if (bw == 8 && bh == 8) DEG = Degrain_C<1, 8, 8, uint8_t>;
+            else if (bw == 16 && bh == 16)
+                DEG = Degrain_C<1, 16, 16, uint8_t>;
+            else if (bw == 4 && bh == 4)
+                DEG = Degrain_C<1, 4, 4, uint8_t>;
+            else if (bw == 8 && bh == 4)
+                DEG = Degrain_C<1, 8, 4, uint8_t>;
+            if (!DEG) { fprintf(stderr, "bad blk\n"); return 2; }
+            int W = pw3[plane], H = ph3[plane];
+            int nW_B = nblkx * (bw - ovx3[plane]) + ovx3[plane];
+            int nH_B = nblky * (bh - ovy3[plane]) + ovy3[plane];
+            const uint8_t *pSrcCur = srcp[plane];
+            uint8_t *pDstCur = dsts[plane].data();
+            int nSrcPitch[3] = { w, wc, wc };
+            if (!overlapped) {
+                for (int by = 0; by < nblky; by++) {
+                    int xx = 0;
+                    for (int bx = 0; bx < nblkx; bx++) {
+                        int i = by * nblkx + bx;
+                        const uint8_t *pointers[2];
+                        int strides[2];
+                        int WSrc, WRefs[2];
+                        const uint8_t *pSrcCur3[3] = { nullptr, nullptr,
+                                                       nullptr };
+                        pSrcCur3[plane] = pSrcCur;
+                        for (int r = 0; r < 2; r++)
+                            useBlock(pointers[r], strides[r], WRefs[r],
+                                     isUsable[r], &fgops[r], i,
+                                     pPlanes[r], pSrcCur3, xx,
+                                     nSrcPitch, nLogPel, plane, xSubUV,
+                                     ySubUV, thSAD);
+                        normaliseWeights<1>(WSrc, WRefs);
+                        DEG(pDstCur + xx, W, pSrcCur + xx, W, pointers,
+                            strides, WSrc, WRefs);
+                        xx += bw;
+                        if (bx == nblkx - 1 && nW_B < W)
+                            for (int y = 0; y < bh; y++)
+                                memcpy(pDstCur + nW_B + y * W,
+                                       pSrcCur + nW_B + y * W, W - nW_B);
+                    }
+                    pDstCur += bh * W;
+                    pSrcCur += bh * W;
+                    if (by == nblky - 1 && nH_B < H)
+                        memcpy(pDstCur, pSrcCur, (size_t)W * (H - nH_B));
+                }
+            } else {
+                OverlapWindows ow;
+                overInit(&ow, bw, bh, ovx3[plane], ovy3[plane]);
+                OverlapsFunction OVERS =
+                    selectOverlapsFunction(bw, bh, 8, 0);
+                int dstTempPitch = ((w + 15) / 16) * 16 * 2;
+                std::vector<uint8_t> DstTemp((size_t)dstTempPitch * H);
+                std::vector<uint8_t> tmpBlock((size_t)bw * bh);
+                memset(DstTemp.data(), 0, (size_t)dstTempPitch * nH_B);
+                uint8_t *pDstTemp = DstTemp.data();
+                for (int by = 0; by < nblky; by++) {
+                    int wby = ((by + nblky - 3) / (nblky - 2)) * 3;
+                    int wbx = 0;
+                    int xx = 0;
+                    for (int bx = 0; bx < nblkx; bx++) {
+                        wbx = bx == nblkx - 1 ? 2 : wbx;
+                        int16_t *winOver = overGetWindow(&ow, wby + wbx);
+                        int i = by * nblkx + bx;
+                        const uint8_t *pointers[2];
+                        int strides[2];
+                        int WSrc, WRefs[2];
+                        const uint8_t *pSrcCur3[3] = { nullptr, nullptr,
+                                                       nullptr };
+                        pSrcCur3[plane] = pSrcCur;
+                        for (int r = 0; r < 2; r++)
+                            useBlock(pointers[r], strides[r], WRefs[r],
+                                     isUsable[r], &fgops[r], i,
+                                     pPlanes[r], pSrcCur3, xx,
+                                     nSrcPitch, nLogPel, plane, xSubUV,
+                                     ySubUV, thSAD);
+                        normaliseWeights<1>(WSrc, WRefs);
+                        DEG(tmpBlock.data(), bw, pSrcCur + xx, W,
+                            pointers, strides, WSrc, WRefs);
+                        OVERS(pDstTemp + xx * 2, dstTempPitch,
+                              tmpBlock.data(), bw, winOver, bw);
+                        xx += bw - ovx3[plane];
+                        wbx = 1;
+                    }
+                    pSrcCur += (bh - ovy3[plane]) * W;
+                    pDstTemp += (bh - ovy3[plane]) * dstTempPitch;
+                }
+                ToPixels_uint16_t_uint8_t(dsts[plane].data(), W,
+                                          DstTemp.data(), dstTempPitch,
+                                          nW_B, nH_B, 8);
+                overDeinit(&ow);
+            }
+        }
+        write_file(oy_p, dsts[0].data(), dsts[0].size());
+        write_file(ou_p, dsts[1].data(), dsts[1].size());
+        write_file(ov_p, dsts[2].data(), dsts[2].size());
+        printf("yuvdegrain1 usable %d/%d thSAD %lld/%lld\n", isUsable[0],
+               isUsable[1], (long long)thSAD[0], (long long)thSAD[1]);
+        for (int r = 0; r < 2; r++) {
+            mvgofDeinit(&gofs[r]);
+            fgopDeinit(&fgops[r]);
+        }
         return 0;
     }
 

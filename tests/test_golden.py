@@ -513,3 +513,74 @@ def test_golden_yuv_analyse_blob(harness, tmp_path, overlap, pel):
                 np.asarray(getattr(want.levels[lv], k)),
                 err_msg=f"level {lv} {k}")
     assert encode_mv_field(mv) == blob
+
+
+@pytest.mark.parametrize("overlap", [0, 8])
+def test_golden_yuv_degrain1_frame_bytes(harness, tmp_path, overlap):
+    """Chroma MDegrain1 golden: YUV420 supers + chroma MAnalyse bwd/fwd
+    + the reference's per-plane degrain loop (useBlock chroma halving,
+    thSADC, per-plane overlap windows, MVDegrains.cpp:179-330) vs our
+    degrain() on all three planes, byte-for-byte."""
+    from mvtools_tpu.degrain import DegrainConfig, degrain
+    import dataclasses
+    rng = np.random.default_rng(71 + overlap)
+    w, h = 192, 128
+    src_y, junk = _frames(rng, w, h)
+    refb_y, reff_y = _frames(rng, w, h)
+    src_u, refb_u = _frames(rng, w // 2, h // 2)
+    src_v, reff_u = _frames(rng, w // 2, h // 2)
+    reff_v, refb_v = _frames(rng, w // 2, h // 2)
+    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
+    sspec = SuperConfig(pel=2, levels=0, chroma=True).validate(fmt)
+    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
+                         search=SearchType.HEX2, searchparam=2,
+                         truemotion=True, chroma=True)
+    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+    thsad, thsadc, thscd1, thscd2 = 300, 220, 400, 130
+
+    files = {}
+    for name, arr in (("sy", src_y), ("su", src_u), ("sv", src_v),
+                      ("by", refb_y), ("bu", refb_u), ("bv", refb_v),
+                      ("fy", reff_y), ("fu", reff_u), ("fv", reff_v)):
+        files[name] = str(tmp_path / f"{name}.raw")
+        arr.tofile(files[name])
+    outs = [str(tmp_path / f"o{p}.raw") for p in "yuv"]
+    m = aspec_b.meta
+    args = [harness, "yuvdegrain1", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec_b.search)), str(aspec_b.n_search_param),
+            str(aspec_b.pel_search), str(aspec_b.lambda_),
+            str(aspec_b.lsad), str(aspec_b.pnew), str(aspec_b.plevel),
+            str(int(aspec_b.global_)), str(aspec_b.pzero),
+            str(aspec_b.pglobal), str(aspec_b.badsad),
+            str(aspec_b.badrange), str(int(aspec_b.meander)),
+            str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
+            str(thsad), str(thsadc), str(thscd1), str(thscd2),
+            files["sy"], files["su"], files["sv"],
+            files["by"], files["bu"], files["bv"],
+            files["fy"], files["fu"], files["fv"]] + outs
+    r = subprocess.run(args, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr
+    want = [np.fromfile(outs[0], np.uint8).reshape(h, w),
+            np.fromfile(outs[1], np.uint8).reshape(h // 2, w // 2),
+            np.fromfile(outs[2], np.uint8).reshape(h // 2, w // 2)]
+
+    src = [jnp.asarray(src_y), jnp.asarray(src_u), jnp.asarray(src_v)]
+    s_src = mvt.build_super(src, sspec)
+    s_b = mvt.build_super([jnp.asarray(refb_y), jnp.asarray(refb_u),
+                           jnp.asarray(refb_v)], sspec)
+    s_f = mvt.build_super([jnp.asarray(reff_y), jnp.asarray(reff_u),
+                           jnp.asarray(reff_v)], sspec)
+    mv_b = mvt.analyse(s_src, s_b, aspec_b, engine="exact")
+    mv_f = mvt.analyse(s_src, s_f, aspec_f, engine="exact")
+    dcfg = DegrainConfig(thsad=thsad, thsadc=thsadc, thscd1=thscd1,
+                         thscd2=thscd2)
+    out = degrain(src, [s_b, s_f], [mv_b, mv_f], aspec_b.meta, dcfg)
+    for p in range(3):
+        np.testing.assert_array_equal(np.asarray(out[p]), want[p],
+                                      err_msg=f"plane {p}: {r.stdout}")
