@@ -17,12 +17,17 @@ import jax  # noqa: E402
 if not os.environ.get("MVT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite is compile-dominated (many static
-# block-size/bit-depth specializations), so cache compiled executables across
-# runs.  Safe on CPU with the thunk runtime in current jax.
+# Persistent compilation cache: ONLY for TPU runs (or MVT_JAX_CACHE=1).
+# XLA:CPU's AOT executable (de)serializer segfaults intermittently
+# inside long pytest processes — observed on both the read path
+# (get_executable_and_time) and the write path (put_executable_and_time),
+# with "machine features ... +prefer-no-gather" mismatch warnings as the
+# tell — so CPU suites rely on the in-process compile cache alone.
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_enable_xla_caches",
-                  "xla_gpu_per_fusion_autotune_cache_dir")
+if os.environ.get("MVT_TEST_TPU") or os.environ.get("MVT_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
