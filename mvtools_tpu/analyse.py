@@ -1401,8 +1401,10 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
         # search the per-candidate probes collapse into one map-kernel
         # pass per plane; every check() becomes a pure XLA lookup
         import os as _os
-        use_map = (dctmode == 0 and _os.environ.get("MVT_SADMAP", "1")
-                   != "0" and fe.map_supported(ctx, fe.map_radius(ctx)))
+        use_map = ((dctmode == 0 or 5 <= dctmode <= 10)
+                   and _os.environ.get("MVT_SADMAP", "1") != "0"
+                   and fe.map_supported(ctx, fe.map_radius(ctx),
+                                        dctmode))
         vx_a, vy_a, vs_a = vectors_in
         for it in range(iters):
             p0, p1, p2, p3 = predictors_from(vx_a, vy_a, vs_a)
@@ -1418,7 +1420,10 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                 p_it = fe.MapProber(ctx, src_blocks, src_u_blocks,
                                     src_v_blocks, x0_a, y0_a, xc_a,
                                     yc_a, bounds, pnew,
-                                    pred_vx=prx, pred_vy=pry)
+                                    pred_vx=prx, pred_vy=pry,
+                                    dctmode=dctmode,
+                                    src_luma=src_luma_a,
+                                    dctweight16=dctweight16)
             else:
                 p_it = prober
             # the bad-SAD rescue runs once per reference block pass;

@@ -379,12 +379,21 @@ def map_radius(ctx) -> int:
     return 8 + align // 2
 
 
-def map_supported(ctx, r: int) -> bool:
+def map_supported(ctx, r: int, dctmode: int = 0) -> bool:
     """Static predicate: MapProber usable on this level's geometry
     (block sums f32-exact, windows fit the padded stacks, chroma pitch
-    integral).  dctmode gating is the caller's (plain SADs only)."""
+    integral; dct modes 5-10 additionally need the span-SATD column
+    alignment).  dct modes 1-4 are never map-served."""
+    from .ops import sad as sad_ops
     from .ops import sadmap
     bsx, bsy = ctx.blk_size
+    if dctmode and not 5 <= dctmode <= 10:
+        return False
+    if 5 <= dctmode <= 10:
+        pitch_s = bsx - ctx.overlap[0]
+        if (ctx.bits != 8 or pitch_s % 8 or bsx % 8 or bsy % 4
+                or not sad_ops.satd_supported(bsx, bsy)):
+            return False
     # the kernel's f32 column-sum + pooling matmul is exact while block
     # sums stay under 2^24 (8-bit: every size; 16-bit: up to 16x16)
     if ((1 << ctx.bits) - 1) * bsx * bsy >= (1 << 24):
@@ -458,9 +467,14 @@ class MapProber(FieldProber):
 
     def __init__(self, ctx, src_blocks, src_u_blocks, src_v_blocks,
                  x0_a, y0_a, xc_a, yc_a, bounds, pnew, pred_vx, pred_vy,
-                 r: int = 0):
+                 r: int = 0, dctmode: int = 0, src_luma=None,
+                 dctweight16=None):
         super().__init__(ctx, src_blocks, src_u_blocks, src_v_blocks,
-                         x0_a, y0_a, xc_a, yc_a, bounds, pnew)
+                         x0_a, y0_a, xc_a, yc_a, bounds, pnew,
+                         dctmode=dctmode, src_luma=src_luma,
+                         dctweight16=dctweight16)
+        self._stats = ("sad_satd_luma" if 5 <= dctmode <= 10
+                       else "sad")
         from .ops import sadmap
         if not r:
             r = map_radius(ctx)
@@ -544,16 +558,17 @@ class MapProber(FieldProber):
             return cols.reshape(len(y0s) * len(x0s), bh, span_pad)
 
         def build(stack, plane, y0s, x0s, afy, afx, ry, rx, bh, bw,
-                  pit, anchor_cy, anchor_cx, src_blk):
+                  pit, anchor_cy, anchor_cx, src_blk, stats="sad"):
             span_pad = sadmap.map_geom(ry, rx, bh, bw, pel, tile,
                                        pit)[3]
+            ch = (3,) if stats == "sad_satd_luma" else ()
             if jax.default_backend() == "tpu":
                 spans = spans_of(plane, y0s, x0s, bh, span_pad)
 
                 def run(fy, fx, sp):
                     return sadmap.sad_map_pallas(
                         stack, fy, fx, sp, ry, rx, bh, bw, pel, tile,
-                        pit)
+                        pit, stats=stats)
 
                 out = probe_ops.spatial_shard(
                     run, [afy, afx, spans], row_len=ntx)
@@ -562,17 +577,19 @@ class MapProber(FieldProber):
             else:
                 def run(cy, cx, sb):
                     return sadmap.sad_map_xla(stack, cy, cx, sb, ry,
-                                              rx, bh, bw, pel)
+                                              rx, bh, bw, pel,
+                                              stats=stats)
 
                 m = probe_ops.spatial_shard(
                     run, [anchor_cy, anchor_cx,
                           src_blk.astype(I32)], row_len=nbx)
-            return m.reshape(nby * nbx, 2 * ry + 1, 2 * rx + 1)
+            return m.reshape((nby * nbx, 2 * ry + 1, 2 * rx + 1) + ch)
 
         self._m_l = build(self.stack, ctx.src_planes[0], s_y, s_x,
                           af_y, af_x, r, r, bsy, bsx, pitch,
                           self.base_y + self._av_y,
-                          self.base_x + self._av_x, src_blocks)
+                          self.base_x + self._av_x, src_blocks,
+                          stats=self._stats)
         if ctx.chroma:
             self._rc_y = (r >> logy) + 1
             self._rc_x = (r >> logx) + 1
@@ -631,9 +648,28 @@ class MapProber(FieldProber):
             axis=1)
         return jnp.where(ok, v, probe_ops.INVALID_SAD).astype(I64)
 
+    @staticmethod
+    def _lookup3(m, iy, ix):
+        """[nblk, 3] stat triples of m [nblk, Dy, Dx, 3] + validity."""
+        _, dy_n, dx_n, _ = m.shape
+        ok = (iy >= 0) & (iy < dy_n) & (ix >= 0) & (ix < dx_n)
+        iyc = jnp.clip(iy, 0, dy_n - 1)
+        ixc = jnp.clip(ix, 0, dx_n - 1)
+        ohy = jnp.arange(dy_n, dtype=I32)[None] == iyc[:, None]
+        row = jnp.sum(jnp.where(ohy[:, :, None, None], m, 0), axis=1)
+        ohx = jnp.arange(dx_n, dtype=I32)[None] == ixc[:, None]
+        v = jnp.sum(jnp.where(ohx[:, :, None], row, 0), axis=1)
+        return v, ok
+
     def _luma_at(self, vx, vy):
-        return self._lookup(self._m_l, vy - self._av_y + self.r,
-                            vx - self._av_x + self.r)
+        iy = vy - self._av_y + self.r
+        ix = vx - self._av_x + self.r
+        if self._stats == "sad":
+            return self._lookup(self._m_l, iy, ix)
+        v3, ok = self._lookup3(self._m_l, iy, ix)
+        mix = self._mix(v3)
+        return jnp.where(ok, mix,
+                         probe_ops.INVALID_SAD).astype(I64)
 
     def _chroma_at(self, vx, vy):
         if not self.chroma:

@@ -95,10 +95,43 @@ def _pool_matrix(span_pad: int, bs_x: int, pitch_fp: int, tile: int):
     return m
 
 
+def _satd_span_mats(span_pad: int, bs_y: int, bs_x: int, pitch_fp: int,
+                    tile: int):
+    """Span-wide SATD as dense matmuls (the whole tile's blocks
+    transformed at once): the reference Satd_C (SADFunctions.cpp:713-741
+    == ops.sad.satd) is 4x4 Hadamards + per-tile abs sums + horizontal
+    8-column pairing, all COLUMN-ALIGNED across blocks whenever
+    pitch %% 8 == 0 — so one block-diagonal column transform serves
+    every block of the span.  Returns (hb_r, hb_c_span_t, p_r,
+    p_c_span, q_span, pool8); pool8 pools the pair columns per block."""
+    h4 = np.array([[1, 1, 1, 1],
+                   [1, -1, 1, -1],
+                   [1, 1, -1, -1],
+                   [1, -1, -1, 1]], np.float32)
+    hb_r = np.kron(np.eye(bs_y // 4, dtype=np.float32), h4)
+    hb_c_t = np.kron(np.eye(span_pad // 4, dtype=np.float32), h4.T)
+    p_r = np.kron(np.eye(bs_y // 4, dtype=np.float32),
+                  np.ones((1, 4), np.float32))
+    p_c = np.kron(np.eye(span_pad // 4, dtype=np.float32),
+                  np.ones((4, 1), np.float32))
+    q = np.kron(np.eye(span_pad // 8, dtype=np.float32),
+                np.array([[1.0], [1.0]], np.float32))
+    pool8 = np.zeros((span_pad // 8, tile), np.float32)
+    for b in range(tile):
+        g0 = b * pitch_fp // 8
+        pool8[g0:g0 + bs_x // 8, b] = 1.0
+    return hb_r, hb_c_t, p_r, p_c, q, pool8
+
+
 def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
-                   out_ref, win_scratch, a_smem, sems, a_sems, *,
-                   r_y, r_x, bs_y, bs_x, pel, tile, chunk_t, pitch_fp,
-                   grid_n):
+                   *rest, r_y, r_x, bs_y, bs_x, pel, tile, chunk_t,
+                   pitch_fp, grid_n, stats="sad"):
+    if stats == "sad_satd_luma":
+        satd_mats = tuple(r[...] for r in rest[:6])
+        rest = rest[6:]
+    else:
+        satd_mats = None
+    out_ref, win_scratch, a_smem, sems, a_sems = rest
     logp = pel.bit_length() - 1
     pelm = np.int32(pel - 1)
     (min_oy, min_ox, span_x, span_pad, rows2, wy_total,
@@ -165,6 +198,13 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
             planes.append(w2)
         src = src_ref[j].astype(I32)            # [bs_y, span_pad]
         pool = pool_ref[...]
+
+        def dot(x, y):
+            # HIGHEST keeps the MXU in its exact-f32 pass: all values
+            # here are integers below 2^24
+            return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
         rows_out = []
         for dy in range(-r_y, r_y + 1):
             oy = (dy >> logp) - min_oy
@@ -173,16 +213,23 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
                 ox = (dx >> logp) - min_ox
                 ref = jax.lax.slice(planes[sub], (oy, ox),
                                     (oy + bs_y, ox + span_pad))
-                d = jnp.abs(ref - src)
+                d = ref - src
                 # 8-bit data: column sums <= 255*bs_y and block sums
-                # <= 255*bs_y*bs_x < 2^24 are exact in f32 (HIGHEST
-                # keeps the MXU in its exact-f32 pass)
-                colsum = jnp.sum(d.astype(jnp.float32), axis=0,
-                                 keepdims=True)
-                part = jnp.dot(colsum, pool,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                rows_out.append(part.astype(I32))
+                # <= 255*bs_y*bs_x < 2^24 are exact in f32
+                colsum = jnp.sum(jnp.abs(d).astype(jnp.float32),
+                                 axis=0, keepdims=True)
+                rows_out.append(dot(colsum, pool).astype(I32))
+                if satd_mats is not None:
+                    hb_r, hb_c_t, p_r, p_c, q, pool8 = satd_mats
+                    t = dot(hb_r, dot(d.astype(jnp.float32), hb_c_t))
+                    ts = dot(p_r, dot(jnp.abs(t), p_c))
+                    pair = dot(ts, q)
+                    fl = jnp.floor(pair * 0.5)
+                    cs2 = jnp.sum(fl, axis=0, keepdims=True)
+                    rows_out.append(dot(cs2, pool8).astype(I32))
+                    lsum = jnp.sum(ref.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+                    rows_out.append(dot(lsum, pool).astype(I32))
         out_ref[j] = jnp.concatenate(rows_out, axis=0)
 
     # tail: prefetch the next step's tile windows
@@ -198,8 +245,10 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
 
 def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
                    r_x: int, bs_y: int, bs_x: int, pel: int, tile: int,
-                   pitch_fp: int):
-    """[ntile, D, tile] i32 SAD map (D = (2*r_y+1)*(2*r_x+1), dy-major).
+                   pitch_fp: int, stats: str = "sad"):
+    """[ntile, D*n_stats, tile] i32 map (D = (2*r_y+1)*(2*r_x+1),
+    dy-major; stats="sad_satd_luma" emits (sad, satd, ref-luma) row
+    triples per offset).
 
     stack: [pel^2, Hp, Wp] pad_stack output; anchor_fy/fx: [ntile]
     full-pel window-coordinate anchors, pre-clamped to anchor_bounds;
@@ -208,10 +257,16 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
     ntile = anchor_fy.shape[0]
     (_, _, _, span_pad, _, wy_total, wx_total) = map_geom(
         r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp)
+    n_stats = 3 if stats == "sad_satd_luma" else 1
+    if n_stats == 3 and (pitch_fp % 8 or bs_x % 8 or bs_y % 4
+                         or stack.dtype != jnp.uint8):
+        raise ValueError("satd map needs u8 data, pitch%8==0, bs_x%8==0")
     d = (2 * r_y + 1) * (2 * r_x + 1)
     # window slots under ~2MB VMEM; modest chunks also bound the unroll
     slot_bytes = pel * pel * wy_total * wx_total * stack.dtype.itemsize
     chunk_t = max(1, min(2, (2 << 20) // max(1, slot_bytes)))
+    if n_stats == 3:
+        chunk_t = 1    # 3x the unrolled work per tile
 
     pad_t = (-ntile) % chunk_t
     if pad_t:
@@ -227,21 +282,31 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
     pool = jnp.asarray(_pool_matrix(span_pad, bs_x, pitch_fp, tile))
     kernel = functools.partial(
         _sadmap_kernel, r_y=r_y, r_x=r_x, bs_y=bs_y, bs_x=bs_x, pel=pel,
-        tile=tile, chunk_t=chunk_t, pitch_fp=pitch_fp, grid_n=grid)
+        tile=tile, chunk_t=chunk_t, pitch_fp=pitch_fp, grid_n=grid,
+        stats=stats)
     z = np.int32(0)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # anchor_fy in HBM
+        pl.BlockSpec(memory_space=pl.ANY),      # anchor_fx in HBM
+        pl.BlockSpec(memory_space=pl.ANY),      # subplane stack
+        pl.BlockSpec((chunk_t, bs_y, span_pad),
+                     lambda g: (g, z, z), memory_space=pltpu.VMEM),
+        pl.BlockSpec(pool.shape, lambda g: (z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    extra_inputs = []
+    if n_stats == 3:
+        # matmul constants ride along as whole-array VMEM inputs (a
+        # Pallas kernel may not capture array constants)
+        for m in _satd_span_mats(span_pad, bs_y, bs_x, pitch_fp, tile):
+            in_specs.append(pl.BlockSpec(
+                m.shape, lambda g: (z, z), memory_space=pltpu.VMEM))
+            extra_inputs.append(jnp.asarray(m))
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # anchor_fy in HBM
-            pl.BlockSpec(memory_space=pl.ANY),      # anchor_fx in HBM
-            pl.BlockSpec(memory_space=pl.ANY),      # subplane stack
-            pl.BlockSpec((chunk_t, bs_y, span_pad),
-                         lambda g: (g, z, z), memory_space=pltpu.VMEM),
-            pl.BlockSpec(pool.shape, lambda g: (z, z),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((chunk_t, d, tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((chunk_t, d * n_stats, tile),
                                lambda g: (g, z, z),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -251,18 +316,21 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
             pltpu.SemaphoreType.DMA((chunk_t,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((n, d, tile), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, d * n_stats, tile),
+                                       jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(afy, afx, stack, src_spans, pool)
+    )(afy, afx, stack, src_spans, pool, *extra_inputs)
     return out[:ntile]
 
 
 def sad_map_xla(stack, anchor_cy, anchor_cx, src_blocks, r_y: int,
-                r_x: int, bs_y: int, bs_x: int, pel: int):
-    """Reference semantics, per block: [nblk, D] i32 where anchor_cy/cx
-    are each block's rel-(0,0) PEL positions (probe coordinates)."""
+                r_x: int, bs_y: int, bs_x: int, pel: int,
+                stats: str = "sad"):
+    """Reference semantics, per block: [nblk, D] i32 (or [nblk, D, 3]
+    for stats="sad_satd_luma") where anchor_cy/cx are each block's
+    rel-(0,0) PEL positions (probe coordinates)."""
     grid = tuple(grid_offsets(r_y, r_x))
     out = probe_ops.probe_sads_xla(stack, anchor_cy[:, None],
                                    anchor_cx[:, None], src_blocks,
-                                   grid, bs_y, bs_x, pel)
-    return out[:, 0, :]
+                                   grid, bs_y, bs_x, pel, stats=stats)
+    return out[:, 0]

@@ -146,11 +146,13 @@ def _clip_pair(rng, w, h, chroma, shift, bits=8):
 
 
 ENGINE_CASES = [
+    # (name, chroma, overlap, pel, levels, shift, exact)
     ("gray", False, 0, 2, 0, (2, 3), True),
     ("chroma", True, 8, 2, 2, (2, 3), True),
     ("qpel", False, 0, 4, 2, (1, 2), True),
     ("bigmotion", False, 0, 2, 3, (18, 25), False),
     ("deep16", False, 0, 2, 2, (2, 3), True),
+    ("satd5", False, 8, 2, 2, (2, 3), True),
 ]
 
 
@@ -181,12 +183,14 @@ def test_map_lockstep_vs_probe_lockstep_inner(name, chroma, overlap,
         pytest.skip("run via the subprocess wrapper")
     rng = np.random.default_rng(3 + pel + levels)
     bits = 16 if name == "deep16" else 8
+    dct = 5 if name == "satd5" else 0
     fmt, src, ref = _clip_pair(rng, 256, 160, chroma, shift, bits=bits)
     sspec = SuperConfig(pel=pel, levels=levels,
                         chroma=chroma).validate(fmt)
     aspec = AnalyseConfig(blksize=16, levels=levels, overlap=overlap,
                           search=SearchType.HEX2, searchparam=2,
-                          truemotion=True, chroma=chroma).validate(sspec)
+                          truemotion=True, chroma=chroma,
+                          dct=dct).validate(sspec)
     s_src = mvt.build_super(src, sspec)
     s_ref = mvt.build_super(ref, sspec)
     old = os.environ.get("MVT_SADMAP")
