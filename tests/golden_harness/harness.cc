@@ -348,6 +348,7 @@ int main(int argc, char **argv) {
          *   <time256> <ml> <src.raw> <ref.raw> <out_frame.raw> */
         int time256 = atoi(argv[a++]);
         double ml = atof(argv[a++]);
+        int use_simple = atoi(argv[a++]);
         const char *src_path = argv[a++], *ref_path = argv[a++];
         const char *out_path = argv[a++];
 
@@ -453,13 +454,32 @@ int main(int argc, char **argv) {
                     memcpy(fine.data() + (size_t)y * finePitch,
                            mvpGetAbsolutePointer(pl, 0, 0)
                                + (size_t)y * pl->nPitch, fpw);
-            } else {
+            } else if (pel == 2) {
                 Merge4PlanesToBig(fine.data(), finePitch,
                                   mvpGetAbsolutePointer(pl, 0, 0),
                                   mvpGetAbsolutePointer(pl, 1, 0),
                                   mvpGetAbsolutePointer(pl, 0, 1),
                                   mvpGetAbsolutePointer(pl, 1, 1),
                                   fpw, fph, pl->nPitch, 8);
+            } else {
+                Merge16PlanesToBig(fine.data(), finePitch,
+                                   mvpGetAbsolutePointer(pl, 0, 0),
+                                   mvpGetAbsolutePointer(pl, 1, 0),
+                                   mvpGetAbsolutePointer(pl, 2, 0),
+                                   mvpGetAbsolutePointer(pl, 3, 0),
+                                   mvpGetAbsolutePointer(pl, 0, 1),
+                                   mvpGetAbsolutePointer(pl, 1, 1),
+                                   mvpGetAbsolutePointer(pl, 2, 1),
+                                   mvpGetAbsolutePointer(pl, 3, 1),
+                                   mvpGetAbsolutePointer(pl, 0, 2),
+                                   mvpGetAbsolutePointer(pl, 1, 2),
+                                   mvpGetAbsolutePointer(pl, 2, 2),
+                                   mvpGetAbsolutePointer(pl, 3, 2),
+                                   mvpGetAbsolutePointer(pl, 0, 3),
+                                   mvpGetAbsolutePointer(pl, 1, 3),
+                                   mvpGetAbsolutePointer(pl, 2, 3),
+                                   mvpGetAbsolutePointer(pl, 3, 3),
+                                   fpw, fph, pl->nPitch, 8);
             }
             mvgofDeinit(&gof);
             return fine;
@@ -474,7 +494,8 @@ int main(int argc, char **argv) {
         FlowInterExtraFunction fextra;
         selectFlowInterFunctions(&fsimple, &finter, &fextra, 8, 0);
         std::vector<uint8_t> dst((size_t)w * h);
-        finter(dst.data(), w, fine_ref.data() + nOffsetY,
+        (use_simple ? fsimple : finter)(
+               dst.data(), w, fine_ref.data() + nOffsetY,
                fine_src.data() + nOffsetY, finePitch,
                VXFullB.data(), VXFullF.data(), VYFullB.data(),
                VYFullF.data(), MaskFullB.data(), MaskFullF.data(),

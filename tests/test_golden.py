@@ -397,10 +397,13 @@ def test_golden_super_pyramid_bytes(harness, tmp_path):
                 arr[i], rows, err_msg=f"super level {lv} subplane {i}")
 
 
-@pytest.mark.parametrize("overlap,pel,time,ml",
-                         [(0, 2, 50.0, 100.0), (8, 1, 25.0, 50.0)])
+@pytest.mark.parametrize("overlap,pel,time,ml,simple",
+                         [(0, 2, 50.0, 100.0, False),
+                          (8, 1, 25.0, 50.0, False),
+                          (0, 2, 50.0, 100.0, True),
+                          (0, 4, 25.0, 100.0, False)])
 def test_golden_flowinter_frame_bytes(harness, tmp_path, overlap, pel,
-                                      time, ml):
+                                      time, ml, simple):
     """Full Flow-family golden: the C reference's Super -> MAnalyse
     bwd/fwd -> MakeVectorSmallMasks/CheckAndPadSmallY ->
     MakeVectorOcclusionMaskTime -> SimpleResize (14-bit tables, vector
@@ -439,7 +442,7 @@ def test_golden_flowinter_frame_bytes(harness, tmp_path, overlap, pel,
             str(aspec_b.pglobal), str(aspec_b.badsad),
             str(aspec_b.badrange), str(int(aspec_b.meander)),
             str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
-            str(time256), str(ml), sp, rp, op]
+            str(time256), str(ml), str(int(simple)), sp, rp, op]
     r = subprocess.run(args, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr
     want = np.fromfile(op, np.uint8).reshape(h, w)
@@ -449,9 +452,37 @@ def test_golden_flowinter_frame_bytes(harness, tmp_path, overlap, pel,
     mv_b = mvt.analyse(s_src, s_ref, aspec_b, engine="exact")
     mv_f = mvt.analyse(s_ref, s_src, aspec_f, engine="exact")
     cfg = FlowInterConfig(time=time, ml=ml, thscd1=16320, thscd2=255)
-    out = flowinter([jnp.asarray(src)], [jnp.asarray(ref)], s_src,
-                    s_ref, mv_b, mv_f, m, cfg)
-    np.testing.assert_array_equal(np.asarray(out[0]), want,
+    if not simple:
+        out = flowinter([jnp.asarray(src)], [jnp.asarray(ref)], s_src,
+                        s_ref, mv_b, mv_f, m, cfg)[0]
+    else:
+        # the FlowFPS kernel (FlowInterSimple, incl. its special
+        # time256==128 path): compose the same pipeline by hand
+        from mvtools_tpu.finest import finest as make_finest
+        from mvtools_tpu.flowutils import (FlowGeometry,
+                                           occlusion_mask_small,
+                                           small_vector_fields,
+                                           upsize_mask, upsize_vectors)
+        from mvtools_tpu.ops import maskfun
+        geo = FlowGeometry.from_meta(m)
+        vxb_s, vyb_s = small_vector_fields(mv_b, m, geo)
+        vxf_s, vyf_s = small_vector_fields(mv_f, m, geo)
+        mb_s = occlusion_mask_small(mv_b, m, True, ml, 256 - time256)
+        mf_s = occlusion_mask_small(mv_f, m, False, ml, time256)
+        vxb = upsize_vectors(vxb_s, vyb_s, m, geo, False)[0][:h, :w]
+        vyb = upsize_vectors(vxb_s, vyb_s, m, geo, False)[1][:h, :w]
+        vxf = upsize_vectors(vxf_s, vyf_s, m, geo, False)[0][:h, :w]
+        vyf = upsize_vectors(vxf_s, vyf_s, m, geo, False)[1][:h, :w]
+        mb = upsize_mask(mb_s, m, geo, False)[:h, :w]
+        mf = upsize_mask(mf_s, m, geo, False)[:h, :w]
+        fine_src = make_finest(s_src)
+        fine_ref = make_finest(s_ref)
+        oy, ox = m.vpadding * pel, m.hpadding * pel
+        out = maskfun.flow_inter_simple(
+            fine_ref[0].astype(jnp.int32), fine_src[0].astype(jnp.int32),
+            oy, ox, vxb, vxf, vyb, vyf, mb, mf, time256,
+            pel).astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(out), want,
                                   err_msg=r.stdout)
 
 
