@@ -261,3 +261,61 @@ def test_map_recalculate_vs_probe_inner():
         np.testing.assert_array_equal(
             np.asarray(getattr(r0.levels[0], k)),
             np.asarray(getattr(r1.levels[0], k)), err_msg=k)
+
+
+@pytest.mark.parametrize("stats", ["sad", "sad_satd_luma"])
+def test_sad_map_pallas_interpret_matches_xla(monkeypatch, stats):
+    """The ACTUAL Pallas kernel executed in interpret mode (emulated
+    DMAs, real kernel body: anchor math, alignment rolls, span slices,
+    pooling/SATD matmuls) vs the per-block XLA evaluation — the
+    hardware-free twin of test_sad_map_pallas_matches_xla."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        sadmap.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.default_rng(3)
+    pel, bs, ov, r = 2, 16, 0, 6
+    h, w = 96, 192
+    hpad = vpad = 16
+    pitch = bs - ov
+    nbx = (w - ov) // pitch
+    nby = (h - ov) // pitch
+    tile = min(max(2, min(32, (128 - bs) // pitch + 1)), nbx)
+    ntx = -(-nbx // tile)
+    ntile = nby * ntx
+    plane = rng.integers(0, 256, (pel * pel, h + 2 * vpad, w + 2 * hpad),
+                         np.uint8)
+    stack = probe.pad_stack(jnp.asarray(plane), 16)
+    (lo_y, hi_y), (lo_x, hi_x) = sadmap.anchor_bounds(
+        r, r, bs, bs, pel, tile, pitch, stack.shape[1], stack.shape[2])
+    span_pad = sadmap.map_geom(r, r, bs, bs, pel, tile, pitch)[3]
+    af_y = rng.integers(lo_y, hi_y + 1, (ntile,)).astype(np.int32)
+    af_x = rng.integers(lo_x, hi_x + 1, (ntile,)).astype(np.int32)
+    src_plane = rng.integers(0, 256, (h + 2 * vpad, w + 2 * hpad),
+                             np.uint8)
+    sp = np.pad(src_plane, ((0, 0), (0, span_pad)), mode="edge")
+    spans = np.zeros((ntile, bs, span_pad), np.uint8)
+    cy = np.zeros((ntile * tile,), np.int32)
+    cx = np.zeros((ntile * tile,), np.int32)
+    blocks = np.zeros((ntile * tile, bs, bs), np.int32)
+    for t in range(ntile):
+        by, tx = divmod(t, ntx)
+        y0 = vpad + by * pitch
+        x0 = hpad + tx * tile * pitch
+        spans[t] = sp[y0:y0 + bs, x0:x0 + span_pad]
+        for b in range(tile):
+            k2 = t * tile + b
+            blocks[k2] = sp[y0:y0 + bs, x0 + b * pitch:
+                            x0 + b * pitch + bs]
+            cy[k2] = af_y[t] * pel
+            cx[k2] = (af_x[t] + b * pitch) * pel
+    got = np.asarray(sadmap.sad_map_pallas(
+        stack, jnp.asarray(af_y), jnp.asarray(af_x), jnp.asarray(spans),
+        r, r, bs, bs, pel, tile, pitch, stats=stats))
+    n_st = 3 if stats != "sad" else 1
+    got = got.transpose(0, 2, 1).reshape(ntile * tile, -1, n_st).squeeze()
+    want = np.asarray(sadmap.sad_map_xla(
+        stack, jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(blocks),
+        r, r, bs, bs, pel, stats=stats)).squeeze()
+    np.testing.assert_array_equal(got, want)
