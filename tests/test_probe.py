@@ -198,3 +198,48 @@ def test_lockstep_satd_mode_agrees_with_exact():
         es = np.asarray(mv_e.finest.sad)
         np.testing.assert_array_equal(ls[same], es[same])
         assert same.mean() > 0.8, f"dct={dct}: {same.mean()}"
+
+
+@pytest.mark.parametrize("stats", ["sad", "sad_satd_luma"])
+def test_probe_kernels_interpret_match_xla(monkeypatch, stats):
+    """The real Pallas probe kernels (per-block, tiled, fetch) executed
+    in interpret mode vs the XLA fallback — hardware-free coverage of
+    the kernel bodies (DMA addressing, alignment rolls, parity-class
+    handling, in-kernel SATD matmuls)."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        probe.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.default_rng(13)
+    pel, bs = 2, 16
+    ph, pw = 96, 160
+    stack = probe.pad_stack(
+        jnp.asarray(rng.integers(0, 256, (pel * pel, ph, pw), np.uint8)),
+        16)
+    nblk = 24
+    cy = jnp.asarray(((16 + rng.integers(8, 40, nblk)) * pel
+                      + rng.integers(-3, 4, nblk)).astype(np.int32))
+    cx = jnp.asarray(((16 + rng.integers(8, 96, nblk)) * pel
+                      + rng.integers(-3, 4, nblk)).astype(np.int32))
+    src = jnp.asarray(rng.integers(0, 256, (nblk, bs, bs)).astype(np.int32))
+    offsets = ((0, 0), (1, -2), (-2, 3))
+
+    got = probe.probe_sads_pallas(stack, cy[:, None], cx[:, None], src,
+                                  offsets, bs, bs, pel, stats=stats)
+    want = probe.probe_sads_xla(stack, cy[:, None], cx[:, None], src,
+                                offsets, bs, bs, pel, stats=stats)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    if stats == "sad":
+        # tiled fetch kernel (exact for every block incl. fallbacks)
+        got_f = probe.fetch_blocks_pallas(stack, cy[:, None],
+                                          cx[:, None], bs, bs, pel)
+        pelm, logp = pel - 1, 1
+        for b in range(nblk):
+            ay, ax = int(cy[b]), int(cx[b])
+            sub = (ax & pelm) | ((ay & pelm) << logp)
+            ref = np.asarray(stack)[sub, ay >> logp:(ay >> logp) + bs,
+                                    ax >> logp:(ax >> logp) + bs]
+            np.testing.assert_array_equal(np.asarray(got_f[b, 0]), ref,
+                                          err_msg=f"fetch block {b}")
