@@ -149,9 +149,10 @@ int main(int argc, char **argv) {
     bool flowinter_mode = !strcmp(mode, "flowinter");
     bool yuv_mode = !strcmp(mode, "yuvanalyse");
     bool yuvdeg_mode = !strcmp(mode, "yuvdegrain1");
+    bool yuvcomp_mode = !strcmp(mode, "yuvcompensate");
     if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
         && !recalc_mode && !flowinter_mode && !yuv_mode
-        && !yuvdeg_mode) {
+        && !yuvdeg_mode && !yuvcomp_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -508,7 +509,8 @@ int main(int argc, char **argv) {
         return 0;
     }
 
-    if (!degrain_mode && !comp_mode && !yuvdeg_mode) {
+    if (!degrain_mode && !comp_mode && !yuvdeg_mode
+        && !yuvcomp_mode) {
         const char *src_path = argv[a++], *ref_path = argv[a++];
         const char *out_path = argv[a++];
         int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
@@ -537,6 +539,186 @@ int main(int argc, char **argv) {
                "super %.2f ms, search %.2f ms\n",
                (unsigned)out.size(), nblkx, nblky, levels, super_ms,
                search_ms);
+        return 0;
+    }
+
+    if (yuvcomp_mode) {
+        /* yuvcompensate: YUV420 Super -> chroma MAnalyse ->
+         * MCompensate over all three planes (MVCompensate.c:227-320:
+         * per-plane blit/overlap from block->x*nPel + mv*time256/256,
+         * chroma positions plain-shifted by the subsampling).  Extra
+         * args: <thsad> <thscd1> <thscd2> <time256>
+         *   <srcY> <srcU> <srcV> <refY> <refU> <refV>
+         *   <outY> <outU> <outV> */
+        long long thsad_raw = atoll(argv[a++]);
+        long long thscd1 = atoll(argv[a++]);
+        int thscd2 = atoi(argv[a++]);
+        int time256 = atoi(argv[a++]);
+        int wc = w / g.rx, hc = h / g.ry;
+        int pitch_c = g.pitch / g.rx;
+        auto rf = [&](size_t n) { return read_file(argv[a++], n); };
+        auto sy = rf((size_t)w * h), su = rf((size_t)wc * hc),
+             sv = rf((size_t)wc * hc);
+        auto ry_ = rf((size_t)w * h), ru = rf((size_t)wc * hc),
+             rv = rf((size_t)wc * hc);
+        const char *oy_p = argv[a++], *ou_p = argv[a++],
+                   *ov_p = argv[a++];
+
+        std::vector<uint8_t> ssy, ssu, ssv, rsy, rsu, rsv;
+        build_super_yuv(g, sharp, rfilter, sy.data(), su.data(),
+                        sv.data(), ssy, ssu, ssv);
+        build_super_yuv(g, sharp, rfilter, ry_.data(), ru.data(),
+                        rv.data(), rsy, rsu, rsv);
+
+        GroupOfPlanes gop;
+        gopInit(&gop, blkx, blky, levels, pel, /*chroma*/ 0x8, 0, ovx,
+                ovy, nblkx, nblky, g.rx, g.ry, 0, 8);
+        MVGroupOfFrames sGOF, rGOF;
+        mvgofInit(&sGOF, levels, w, h, pel, hpad, vpad, YUVPLANES, 0,
+                  g.rx, g.ry, 8);
+        mvgofInit(&rGOF, levels, w, h, pel, hpad, vpad, YUVPLANES, 0,
+                  g.rx, g.ry, 8);
+        uint8_t *pS[3] = { ssy.data(), ssu.data(), ssv.data() };
+        uint8_t *pR[3] = { rsy.data(), rsu.data(), rsv.data() };
+        int pitch3[3] = { g.pitch, pitch_c, pitch_c };
+        mvgofUpdate(&sGOF, pS, pitch3);
+        mvgofUpdate(&rGOF, pR, pitch3);
+        std::vector<uint8_t> vec(gopGetArraySize(&gop), 0);
+        gopSearchMVs(&gop, &sGOF, &rGOF, (SearchType)searchtype,
+                     searchparam, pelsearch, lambda, lsad, pnew, plevel,
+                     global, vec.data(), 0, nullptr, 0, pzero, pglobal,
+                     badsad, badrange, meander, trymany,
+                     (SearchType)coarse);
+        gopDeinit(&gop);
+
+        MVAnalysisData ad;
+        memset(&ad, 0, sizeof(ad));
+        ad.nBlkSizeX = blkx;
+        ad.nBlkSizeY = blky;
+        ad.nPel = pel;
+        ad.nLvCount = levels;
+        ad.nOverlapX = ovx;
+        ad.nOverlapY = ovy;
+        ad.nBlkX = nblkx;
+        ad.nBlkY = nblky;
+        ad.nWidth = w;
+        ad.nHeight = h;
+        ad.xRatioUV = g.rx;
+        ad.yRatioUV = g.ry;
+        ad.bitsPerSample = 8;
+        int64_t nSCD1 = thscd1 * (blkx * blky) / 64;
+        nSCD1 += nSCD1 / (g.rx * g.ry) * 2;   // chroma motion flag
+        int nSCD2 = thscd2 * nblkx * nblky / 256;
+        int64_t thSAD_c = thsad_raw * nSCD1 / thscd1;
+        FakeGroupOfPlanes fgop;
+        fgopInit(&fgop, &ad);
+        fgopUpdate(&fgop, vec.data());
+        int usable = fgopIsUsable(&fgop, nSCD1, nSCD2);
+        if (!usable) { fprintf(stderr, "unusable\n"); return 3; }
+        MVPlane **pSrcPlanes = sGOF.frames[0]->planes;
+        MVPlane **pRefPlanes = rGOF.frames[0]->planes;
+
+        int xSubUV = g.rx == 2 ? 1 : 0;
+        int ySubUV = g.ry == 2 ? 1 : 0;
+        std::vector<uint8_t> dsts[3] = { sy, su, sv };
+        int pw3[3] = { w, wc, wc };
+        int bsx3[3] = { blkx, blkx >> xSubUV, blkx >> xSubUV };
+        int bsy3[3] = { blky, blky >> ySubUV, blky >> ySubUV };
+        int ovx3[3] = { ovx, ovx >> xSubUV, ovx >> xSubUV };
+        int ovy3[3] = { ovy, ovy >> ySubUV, ovy >> ySubUV };
+        bool overlapped = ovx > 0 || ovy > 0;
+        for (int plane = 0; plane < 3; plane++) {
+            int W = pw3[plane];
+            int bw = bsx3[plane], bh = bsy3[plane];
+            int nW_B = nblkx * (bw - ovx3[plane]) + ovx3[plane];
+            int nH_B = nblky * (bh - ovy3[plane]) + ovy3[plane];
+            uint8_t *pDstCur = dsts[plane].data();
+            if (!overlapped) {
+                for (int by = 0; by < nblky; by++) {
+                    int xx = 0;
+                    for (int bx = 0; bx < nblkx; bx++) {
+                        int i = by * nblkx + bx;
+                        const FakeBlockData *block =
+                            fgopGetBlock(&fgop, 0, i);
+                        int blx, bly;
+                        MVPlane **pPlanes;
+                        if (block->vector.sad < thSAD_c) {
+                            blx = block->x * pel
+                                + block->vector.x * time256 / 256;
+                            bly = block->y * pel
+                                + block->vector.y * time256 / 256;
+                            pPlanes = pRefPlanes;
+                        } else {
+                            blx = bx * blkx * pel;
+                            bly = by * blky * pel;
+                            pPlanes = pSrcPlanes;
+                        }
+                        if (plane) { blx >>= xSubUV; bly >>= ySubUV; }
+                        const uint8_t *p =
+                            mvpGetPointer(pPlanes[plane], blx, bly);
+                        for (int y = 0; y < bh; y++)
+                            memcpy(pDstCur + xx + y * W,
+                                   p + y * pPlanes[plane]->nPitch, bw);
+                        xx += bw;
+                    }
+                    pDstCur += bh * W;
+                }
+            } else {
+                OverlapWindows ow;
+                overInit(&ow, bw, bh, ovx3[plane], ovy3[plane]);
+                OverlapsFunction OVERS =
+                    selectOverlapsFunction(bw, bh, 8, 0);
+                int dstTempPitch = ((w + 15) / 16) * 16 * 2;
+                std::vector<uint8_t> DstTemp(
+                    (size_t)dstTempPitch * pw3[0]);
+                memset(DstTemp.data(), 0, (size_t)dstTempPitch * nH_B);
+                uint8_t *pDstTemp = DstTemp.data();
+                for (int by = 0; by < nblky; by++) {
+                    int wby = ((by + nblky - 3) / (nblky - 2)) * 3;
+                    int wbx = 0;
+                    int xx = 0;
+                    for (int bx = 0; bx < nblkx; bx++) {
+                        wbx = bx == nblkx - 1 ? 2 : wbx;
+                        int16_t *winOver = overGetWindow(&ow, wby + wbx);
+                        int i = by * nblkx + bx;
+                        const FakeBlockData *block =
+                            fgopGetBlock(&fgop, 0, i);
+                        int blx, bly;
+                        MVPlane **pPlanes;
+                        if (block->vector.sad < thSAD_c) {
+                            blx = block->x * pel
+                                + block->vector.x * time256 / 256;
+                            bly = block->y * pel
+                                + block->vector.y * time256 / 256;
+                            pPlanes = pRefPlanes;
+                        } else {
+                            blx = bx * (blkx - ovx) * pel;
+                            bly = by * (blky - ovy) * pel;
+                            pPlanes = pSrcPlanes;
+                        }
+                        if (plane) { blx >>= xSubUV; bly >>= ySubUV; }
+                        OVERS(pDstTemp + xx * 2, dstTempPitch,
+                              mvpGetPointer(pPlanes[plane], blx, bly),
+                              pPlanes[plane]->nPitch, winOver, bw);
+                        xx += bw - ovx3[plane];
+                        wbx = 1;
+                    }
+                    pDstTemp += dstTempPitch * (bh - ovy3[plane]);
+                }
+                ToPixels_uint16_t_uint8_t(dsts[plane].data(), W,
+                                          DstTemp.data(), dstTempPitch,
+                                          nW_B, nH_B, 8);
+                overDeinit(&ow);
+            }
+        }
+        write_file(oy_p, dsts[0].data(), dsts[0].size());
+        write_file(ou_p, dsts[1].data(), dsts[1].size());
+        write_file(ov_p, dsts[2].data(), dsts[2].size());
+        printf("yuvcompensate thSAD %lld time256 %d\n",
+               (long long)thSAD_c, time256);
+        fgopDeinit(&fgop);
+        mvgofDeinit(&sGOF);
+        mvgofDeinit(&rGOF);
         return 0;
     }
 

@@ -615,3 +615,65 @@ def test_golden_yuv_degrain1_frame_bytes(harness, tmp_path, overlap):
     for p in range(3):
         np.testing.assert_array_equal(np.asarray(out[p]), want[p],
                                       err_msg=f"plane {p}: {r.stdout}")
+
+
+@pytest.mark.parametrize("overlap,time", [(0, 100.0), (8, 50.0)])
+def test_golden_yuv_compensate_frame_bytes(harness, tmp_path, overlap,
+                                           time):
+    """Chroma MCompensate golden: YUV420 supers + chroma MAnalyse +
+    the reference's per-plane blit/overlap assembly with the
+    time256-scaled vectors and subsampling-shifted chroma positions
+    (MVCompensate.c:227-320) vs our compensate(), byte-for-byte."""
+    from mvtools_tpu.compensate import CompensateConfig, compensate
+    rng = np.random.default_rng(83 + overlap)
+    w, h = 192, 128
+    src_y, ref_y = _frames(rng, w, h)
+    src_u, ref_u = _frames(rng, w // 2, h // 2)
+    src_v, ref_v = _frames(rng, w // 2, h // 2)
+    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
+    sspec = SuperConfig(pel=2, levels=0, chroma=True).validate(fmt)
+    aspec = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
+                          search=SearchType.HEX2, searchparam=2,
+                          truemotion=True, chroma=True).validate(sspec)
+    thsad, thscd1, thscd2 = 700, 16320, 255
+    time256 = int(time * 256 / 100)
+
+    files = {}
+    for name, arr in (("sy", src_y), ("su", src_u), ("sv", src_v),
+                      ("ry", ref_y), ("ru", ref_u), ("rv", ref_v)):
+        files[name] = str(tmp_path / f"{name}.raw")
+        arr.tofile(files[name])
+    outs = [str(tmp_path / f"o{p}.raw") for p in "yuv"]
+    m = aspec.meta
+    args = [harness, "yuvcompensate", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec.search)), str(aspec.n_search_param),
+            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
+            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
+            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
+            str(aspec.badrange), str(int(aspec.meander)),
+            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
+            str(thsad), str(thscd1), str(thscd2), str(time256),
+            files["sy"], files["su"], files["sv"],
+            files["ry"], files["ru"], files["rv"]] + outs
+    r = subprocess.run(args, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr
+    want = [np.fromfile(outs[0], np.uint8).reshape(h, w),
+            np.fromfile(outs[1], np.uint8).reshape(h // 2, w // 2),
+            np.fromfile(outs[2], np.uint8).reshape(h // 2, w // 2)]
+
+    src = [jnp.asarray(src_y), jnp.asarray(src_u), jnp.asarray(src_v)]
+    s_src = mvt.build_super(src, sspec)
+    s_ref = mvt.build_super([jnp.asarray(ref_y), jnp.asarray(ref_u),
+                             jnp.asarray(ref_v)], sspec)
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    ccfg = CompensateConfig(thsad=thsad, thscd1=thscd1, thscd2=thscd2,
+                            time=time)
+    out = compensate(s_src, s_ref, mv, aspec.meta, ccfg)
+    for p in range(3):
+        np.testing.assert_array_equal(np.asarray(out[p]), want[p],
+                                      err_msg=f"plane {p}: {r.stdout}")
