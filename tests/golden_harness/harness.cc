@@ -150,9 +150,10 @@ int main(int argc, char **argv) {
     bool yuv_mode = !strcmp(mode, "yuvanalyse");
     bool yuvdeg_mode = !strcmp(mode, "yuvdegrain1");
     bool yuvcomp_mode = !strcmp(mode, "yuvcompensate");
+    bool usable_mode = !strcmp(mode, "usable");
     if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
         && !recalc_mode && !flowinter_mode && !yuv_mode
-        && !yuvdeg_mode && !yuvcomp_mode) {
+        && !yuvdeg_mode && !yuvcomp_mode && !usable_mode) {
         fprintf(stderr, "bad mode\n");
         return 2;
     }
@@ -204,6 +205,47 @@ int main(int argc, char **argv) {
         mvgofDeinit(&refGOF);
         return out;
     };
+
+    if (usable_mode) {
+        /* usable: Super -> MAnalyse -> fgopIsUsable for several
+         * (thscd1, thscd2) pairs with the gray scaleThSCD
+         * normalisation (MVAnalysisData.c:7-31, Fakery.c:52-58,
+         * :144-146).  Extra args: <src> <ref> then pairs. */
+        const char *src_path = argv[a++], *ref_path = argv[a++];
+        auto src = read_file(src_path, (size_t)w * h);
+        auto ref = read_file(ref_path, (size_t)w * h);
+        auto sup_src = build_super(src.data(), g, sharp, rfilter);
+        auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        auto vec = run_search(sup_src, sup_ref);
+        MVAnalysisData ad;
+        memset(&ad, 0, sizeof(ad));
+        ad.nBlkSizeX = blkx;
+        ad.nBlkSizeY = blky;
+        ad.nPel = pel;
+        ad.nLvCount = levels;
+        ad.nOverlapX = ovx;
+        ad.nOverlapY = ovy;
+        ad.nBlkX = nblkx;
+        ad.nBlkY = nblky;
+        ad.nWidth = w;
+        ad.nHeight = h;
+        ad.xRatioUV = g.rx;
+        ad.yRatioUV = g.ry;
+        ad.bitsPerSample = 8;
+        FakeGroupOfPlanes fgop;
+        fgopInit(&fgop, &ad);
+        fgopUpdate(&fgop, vec.data());
+        while (a + 1 < argc) {
+            long long t1 = atoll(argv[a++]);
+            int t2 = atoi(argv[a++]);
+            int64_t nSCD1 = t1 * (blkx * blky) / 64;
+            int nSCD2 = t2 * nblkx * nblky / 256;
+            printf("usable %lld %d -> %d\n", t1, t2,
+                   fgopIsUsable(&fgop, nSCD1, nSCD2));
+        }
+        fgopDeinit(&fgop);
+        return 0;
+    }
 
     if (recalc_mode) {
         /* recalculate: Super -> MAnalyse -> MRecalculate

@@ -677,3 +677,56 @@ def test_golden_yuv_compensate_frame_bytes(harness, tmp_path, overlap,
     for p in range(3):
         np.testing.assert_array_equal(np.asarray(out[p]), want[p],
                                       err_msg=f"plane {p}: {r.stdout}")
+
+
+def test_golden_usable_gate(harness, tmp_path):
+    """Scene-change / usability gate golden: the C fgopIsUsable with
+    scaleThSCD normalisation (MVAnalysisData.c:7-31, Fakery.c:52-58,
+    :144-146) vs our scale_thscd + is_usable across thresholds that
+    straddle the scene-change boundary."""
+    from mvtools_tpu.core.thscd import is_usable, scale_thscd
+    rng = np.random.default_rng(97)
+    w, h = 192, 128
+    src, _ = _frames(rng, w, h)
+    ref = rng.integers(0, 256, (h, w)).astype(np.uint8)   # unrelated
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+    aspec = AnalyseConfig(blksize=16, levels=0,
+                          search=SearchType.HEX2, searchparam=2,
+                          truemotion=True, chroma=False).validate(sspec)
+    sp, rp = str(tmp_path / "s.raw"), str(tmp_path / "r.raw")
+    src.tofile(sp)
+    ref.tofile(rp)
+    pairs = [(400, 130), (16320, 255), (100, 1), (4000, 200)]
+    m = aspec.meta
+    args = [harness, "usable", str(w), str(h), str(m.pel),
+            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
+            str(sspec.sharp), str(sspec.rfilter),
+            str(m.x_ratio_uv), str(m.y_ratio_uv),
+            str(m.blk_size_x), str(m.blk_size_y),
+            str(m.overlap_x), str(m.overlap_y),
+            str(int(aspec.search)), str(aspec.n_search_param),
+            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
+            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
+            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
+            str(aspec.badrange), str(int(aspec.meander)),
+            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
+            sp, rp] + [str(v) for p_ in pairs for v in p_]
+    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    got = {}
+    for line in r.stdout.splitlines():
+        parts = line.split()
+        if parts[:1] == ["usable"]:
+            got[(int(parts[1]), int(parts[2]))] = int(parts[4])
+
+    s_src = mvt.build_super([jnp.asarray(src)], sspec)
+    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    seen_states = set()
+    for t1, t2 in pairs:
+        n1, n2 = scale_thscd(t1, t2, m, "test")
+        ours = int(bool(is_usable(mv, n1, n2)))
+        assert ours == got[(t1, t2)], (t1, t2, ours, got)
+        seen_states.add(ours)
+    assert seen_states == {0, 1}, "thresholds straddle the boundary"
