@@ -276,3 +276,63 @@ def test_tiled_pallas_traces():
         want = ((nblk, 1, 3, 3) if stats == "sad_satd_luma"
                 else (nblk, 1, 3))
         assert r.shape == want
+
+
+@pytest.mark.parametrize("stats", ["sad", "sad_satd_luma"])
+def test_tiled_kernels_interpret_match_xla(monkeypatch, stats):
+    """The real tiled Pallas kernels (probe + fetch) executed in
+    interpret mode vs their XLA references — covers the tile-window
+    DMA addressing, med3 anchoring, in-extent validity masks, and the
+    per-block fallback DMA of the tiled fetch, without hardware."""
+    import jax
+    from jax.experimental import pallas as pl
+    from mvtools_tpu.ops import probe
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        probe.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(17)
+    pel, bs, tile = 2, 16, 4
+    ph, pw = 128, 256
+    stack = probe.pad_stack(
+        jnp.asarray(rng.integers(0, 256, (pel * pel, ph, pw),
+                                 np.uint8)), 16)
+    row_len, nrows = 8, 3
+    nblk = row_len * nrows
+    base_y = (16 + 16 * (np.arange(nblk) // row_len)).astype(np.int32)
+    base_x = (16 + 16 * (np.arange(nblk) % row_len)).astype(np.int32)
+    # smooth candidates with a couple of outliers (fallback coverage)
+    cy = ((base_y + rng.integers(-4, 5, nblk)) * pel).astype(np.int32)
+    cx = ((base_x + rng.integers(-4, 5, nblk)) * pel).astype(np.int32)
+    cy[5] = (base_y[5] + 40) * pel      # far off the tile anchor
+    cx[11] = (base_x[11] - 14) * pel
+    src = jnp.asarray(rng.integers(0, 256, (nblk, bs, bs)).astype(np.int32))
+    offsets = ((0, 0), (1, -2), (-1, 2))
+    cyj, cxj = jnp.asarray(cy)[:, None], jnp.asarray(cx)[:, None]
+
+    wy_total, wx_total, center_y, center_x = probe.tile_params(
+        offsets, bs, bs, pel, tile, 16)
+    got = probe.probe_sads_tiled_pallas(
+        stack, cyj, cxj, src, offsets, bs, bs, pel, tile, wy_total,
+        wx_total, center_y, center_x, stats=stats)
+    want = probe.probe_sads_tiled_xla(
+        stack, cyj, cxj, src, offsets, bs, bs, pel, tile, wy_total,
+        wx_total, center_y, center_x, stats=stats)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    if stats == "sad":
+        # tiled fetch: EXACT everywhere incl. the out-of-extent
+        # fallback blocks
+        got_f = probe.fetch_blocks_tiled(
+            stack, cyj, cxj, bs, bs, pel, row_len=row_len, pitch_x=16,
+            tile=tile)
+        pelm, logp = pel - 1, 1
+        st = np.asarray(stack)
+        for b in range(nblk):
+            ay, ax = int(cy[b]), int(cx[b])
+            sub = (ax & pelm) | ((ay & pelm) << logp)
+            ref = st[sub, ay >> logp:(ay >> logp) + bs,
+                     ax >> logp:(ax >> logp) + bs]
+            np.testing.assert_array_equal(
+                np.asarray(got_f[b, 0]), ref, err_msg=f"block {b}")
