@@ -1,4 +1,7 @@
-"""Per-component TPU timing for the headline pipeline shape."""
+"""Per-component TPU timing for the headline pipeline shape
+(Super -> Analyse bwd/fwd -> Degrain1, bench.py's pipeline).  Each
+section times distinct input data (the device runtime memoizes
+executions with identical input buffers)."""
 import dataclasses
 import time
 
@@ -16,10 +19,10 @@ fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
 sspec = SuperConfig(pel=2, levels=3, chroma=False).validate(fmt)
 acfg = AnalyseConfig(blksize=16, levels=3, truemotion=True, chroma=False)
 aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
 dcfg = DegrainConfig(thsad=400)
 
-rng = np.random.default_rng(0)
-base = rng.integers(0, 256, (h + 32, w + 32), np.uint8)
+
 def mkclip(t, seed):
     r2 = np.random.default_rng(seed)
     b2 = r2.integers(0, 256, (h + 32, w + 32), np.uint8)
@@ -27,56 +30,70 @@ def mkclip(t, seed):
                                     (i*3) % 16:(i*3) % 16+w]
                                  for i in range(t)]))
 
+
 def pick(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
-# --- super only ---
+
+def timed(step, nframes, seed0, extra=0):
+    stepj = jax.jit(step)
+    clips = [mkclip(nframes + extra, seed0 + i) for i in range(iters + 1)]
+    out = jax.block_until_ready(stepj(clips[-1]))
+    t0 = time.perf_counter()
+    for c in clips[:iters]:
+        out = stepj(c)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (nframes * iters) * 1e3
+
+
 def super_step(winw):
     sups = jax.lax.map(lambda f: build_super([f], sspec), winw)
     return jax.tree_util.tree_map(lambda a: a.sum(), sups)
-sj = jax.jit(super_step)
-clips = [mkclip(B, 100+i) for i in range(iters+1)]
-out = jax.block_until_ready(sj(clips[-1]))
-t0 = time.perf_counter()
-for c in clips[:iters]:
-    out = sj(c)
-jax.block_until_ready(out)
-print(f"super: {(time.perf_counter()-t0)/(B*iters)*1e3:.2f} ms/frame", flush=True)
 
-# --- super+analyse ---
+
 def sa_step(winw):
     sups = jax.lax.map(lambda f: build_super([f], sspec), winw)
+
     def one(i):
         mv = analyse(pick(sups, i), pick(sups, i+1), aspec_b,
                      engine="lockstep")
         return mv.finest.sad.sum()
     return jax.lax.map(one, jnp.arange(B))
-saj = jax.jit(sa_step)
-clips = [mkclip(B+1, 200+i) for i in range(iters+1)]
-out = jax.block_until_ready(saj(clips[-1]))
-t0 = time.perf_counter()
-for c in clips[:iters]:
-    out = saj(c)
-jax.block_until_ready(out)
-sa_ms = (time.perf_counter()-t0)/(B*iters)*1e3
-print(f"super+1analyse: {sa_ms:.2f} ms/frame", flush=True)
 
-# --- super + 2 analyse ---
+
 def sa2_step(winw):
     sups = jax.lax.map(lambda f: build_super([f], sspec), winw)
+
     def one(i):
         mv1 = analyse(pick(sups, i+1), pick(sups, i+2), aspec_b,
                       engine="lockstep")
-        mv2 = analyse(pick(sups, i+1), pick(sups, i), aspec_b,
+        mv2 = analyse(pick(sups, i+1), pick(sups, i), aspec_f,
                       engine="lockstep")
         return mv1.finest.sad.sum() + mv2.finest.sad.sum()
     return jax.lax.map(one, jnp.arange(B))
-sa2j = jax.jit(sa2_step)
-clips = [mkclip(B+2, 300+i) for i in range(iters+1)]
-out = jax.block_until_ready(sa2j(clips[-1]))
-t0 = time.perf_counter()
-for c in clips[:iters]:
-    out = sa2j(c)
-jax.block_until_ready(out)
-sa2_ms = (time.perf_counter()-t0)/(B*iters)*1e3
-print(f"super+2analyse: {sa2_ms:.2f} ms/frame", flush=True)
+
+
+def full_step(winw):
+    """bench.py's pipeline shape: super + 2 analyse + degrain1."""
+    sups = jax.lax.map(lambda f: build_super([f], sspec), winw)
+
+    def one(i):
+        c = i + 1
+        sup_c = pick(sups, c)
+        sup_n = pick(sups, c + 1)
+        sup_p = pick(sups, c - 1)
+        mvs = [analyse(sup_c, sup_n, aspec_b, engine="lockstep"),
+               analyse(sup_c, sup_p, aspec_f, engine="lockstep")]
+        return degrain([winw[c]], [sup_n, sup_p], mvs, aspec_b.meta,
+                       dcfg)[0]
+    return jax.lax.map(one, jnp.arange(B))
+
+
+print(f"super: {timed(super_step, B, 100):.2f} ms/frame", flush=True)
+print(f"super+1analyse: {timed(sa_step, B, 200, extra=1):.2f} ms/frame",
+      flush=True)
+sa2 = timed(sa2_step, B, 300, extra=2)
+print(f"super+2analyse: {sa2:.2f} ms/frame", flush=True)
+full = timed(full_step, B, 400, extra=2)
+print(f"super+2analyse+degrain1: {full:.2f} ms/frame "
+      f"(degrain ~{full - sa2:.2f})", flush=True)
