@@ -92,8 +92,17 @@ def decode_mv_field(data: bytes, meta: AnalysisMeta,
     if divided:
         level_shapes.insert(0, (meta.blk_y * 2, meta.blk_x * 2))
     levels = []
-    for (nby, nbx) in reversed(level_shapes):  # blob is coarsest-first
-        (size,) = struct.unpack_from("<i", data, offset)
+    ordered = list(reversed(level_shapes))     # blob is coarsest-first
+    for li, (nby, nbx) in enumerate(ordered):
+        if divided and li == len(ordered) - 1:
+            # the divided sub-block chunk's size slot is never written
+            # by the reference's searched path (gopExtraDivide writes
+            # only the vectors, GroupOfPlanes.c:206-302) nor read by
+            # Fakery (fgopUpdate advances past it last, Fakery.c:
+            # 110-121): compute the size, ignore the stored bytes
+            size = 4 + nbx * nby * 16
+        else:
+            (size,) = struct.unpack_from("<i", data, offset)
         nblk = (size - 4) // 16
         if nblk != nbx * nby:
             raise ValueError(

@@ -11,9 +11,12 @@ by requantisation to the pixel range (Float2Pixels_C DCTFFTW.cpp:30-54):
 
 Implemented as two small cosine-matrix matmuls — on TPU these hit the MXU
 directly, replacing the FFTW plan machinery (and its global plan mutex,
-DCTFFTW.cpp:132) with pure functional code.  The DCT itself is computed in
-float64 to make results reproducible across backends; FFTW's float32
-pipeline can differ by one quantisation step in rare rounding races.
+DCTFFTW.cpp:132) with pure functional code.  The transform accumulates in
+float64 and the coefficient is cast to float32 before the sqrt(2)/2 scale
+— exactly the golden harness's scalar REDFT10 stub
+(tests/golden_harness/dct_stub.cc), which byte-matches this module
+through the reference's own search; a real fftwf pipeline could still
+differ by one quantisation step in rare last-ulp races.
 """
 
 from __future__ import annotations
@@ -64,11 +67,13 @@ def dct_block(block: jnp.ndarray, bits: int) -> jnp.ndarray:
     pixel_max = (1 << bits) - 1
     pixel_half = 1 << (bits - 1)
 
-    f = coefs * _SQRT2_DIV2
+    # float32 from here on: Float2Pixels_C stores float coefficients and
+    # multiplies by the float32 sqrt(2)/2 constant (DCTFFTW.cpp:30-43)
+    f = coefs.astype(jnp.float32) * jnp.float32(_SQRT2_DIV2)
     integ = jnp.round(f).astype(jnp.int64)  # round half to even == nearbyint
     out = jnp.clip((integ >> shift) + pixel_half, 0, pixel_max)
 
-    f0 = coefs[..., 0, 0] * 0.5
+    f0 = coefs[..., 0, 0].astype(jnp.float32) * jnp.float32(0.5)
     integ0 = jnp.round(f0).astype(jnp.int64)
     dc = jnp.clip((integ0 >> shift0) + pixel_half, 0, pixel_max)
     out = out.at[..., 0, 0].set(dc)

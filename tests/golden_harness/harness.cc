@@ -175,13 +175,15 @@ int main(int argc, char **argv) {
     int nblky = (h - ovy) / (blky - ovy);
 
     int field_shift = 0;   // analyse mode: optional trailing arg
+    int dctmode = 0;       // analyse mode: optional trailing arg
+    int divide = 0;        // analyse mode: optional trailing arg
 
     auto run_search = [&](std::vector<uint8_t> &sup_src,
                           std::vector<uint8_t> &sup_ref) {
         GroupOfPlanes gop;
         gopInit(&gop, blkx, blky, levels, pel, /*nMotionFlags=*/0,
                 /*nCPUFlags=*/0, ovx, ovy, nblkx, nblky, g.rx, g.ry,
-                /*divideExtra=*/0, /*bitsPerSample=*/8);
+                divide, /*bitsPerSample=*/8);
         MVGroupOfFrames srcGOF, refGOF;
         mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
                   g.rx, g.ry, 8);
@@ -194,12 +196,19 @@ int main(int argc, char **argv) {
         mvgofUpdate(&refGOF, pRef, pitch);
         MVArraySizeType size = gopGetArraySize(&gop);
         std::vector<uint8_t> out(size, 0);
+        DCTFFTW dct;             // scalar REDFT10 stub (dct_stub.cc)
+        if (dctmode)
+            dctInit(&dct, blkx, blky, 8, 0);
         gopSearchMVs(&gop, &srcGOF, &refGOF, (SearchType)searchtype,
                      searchparam, pelsearch, lambda, lsad, pnew, plevel,
                      global, out.data(), field_shift,
-                     /*DCT=*/nullptr, /*dctmode=*/0, pzero, pglobal,
+                     dctmode ? &dct : nullptr, dctmode, pzero, pglobal,
                      badsad, badrange, meander, trymany,
                      (SearchType)coarse);
+        if (divide)
+            gopExtraDivide(&gop, out.data());
+        if (dctmode)
+            dctDeinit(&dct);
         gopDeinit(&gop);
         mvgofDeinit(&srcGOF);
         mvgofDeinit(&refGOF);
@@ -557,6 +566,8 @@ int main(int argc, char **argv) {
         const char *out_path = argv[a++];
         int time_iters = (a < argc) ? atoi(argv[a++]) : 0;
         field_shift = (a < argc) ? atoi(argv[a++]) : 0;
+        dctmode = (a < argc) ? atoi(argv[a++]) : 0;
+        divide = (a < argc) ? atoi(argv[a++]) : 0;
         auto src = read_file(src_path, (size_t)w * h);
         auto ref = read_file(ref_path, (size_t)w * h);
         struct timespec t0, t1;

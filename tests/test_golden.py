@@ -48,7 +48,7 @@ def _frames(rng, w, h):
 
 
 def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec,
-                 field_shift=0):
+                 field_shift=0, dctmode=0, divide=0):
     h, w = src.shape
     sp = str(tmp_path / "src.raw")
     rp = str(tmp_path / "ref.raw")
@@ -69,7 +69,7 @@ def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec,
             str(aspec.badsad), str(aspec.badrange),
             str(int(aspec.meander)), str(int(aspec.trymany)),
             str(int(aspec.search_coarse)), sp, rp, op,
-            "0", str(field_shift)]
+            "0", str(field_shift), str(dctmode), str(divide)]
     r = subprocess.run(args, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
     with open(op, "rb") as f:
@@ -84,7 +84,8 @@ def _check_config(harness, tmp_path, w, h, scfg, acfg, seed,
     sspec = scfg.validate(fmt)
     aspec = acfg.validate(sspec)
     blob = _golden_blob(harness, tmp_path, src, ref, sspec, aspec,
-                        field_shift=field_shift)
+                        field_shift=field_shift, dctmode=acfg.dct,
+                        divide=acfg.divide)
 
     s_src = mvt.build_super([jnp.asarray(src)], sspec)
     s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
@@ -92,7 +93,7 @@ def _check_config(harness, tmp_path, w, h, scfg, acfg, seed,
                      field_shift=field_shift)
 
     # field-level parity first (better failure messages than raw bytes)
-    want = decode_mv_field(blob, aspec.meta)
+    want = decode_mv_field(blob, aspec.meta, divided=acfg.divide)
     for lv in range(len(mv.levels)):
         np.testing.assert_array_equal(
             np.asarray(mv.levels[lv].x), np.asarray(want.levels[lv].x),
@@ -104,7 +105,17 @@ def _check_config(harness, tmp_path, w, h, scfg, acfg, seed,
             np.asarray(mv.levels[lv].sad), np.asarray(want.levels[lv].sad),
             err_msg=f"level {lv} sad")
     # byte-exact codec round-trip against C-produced bytes
-    assert encode_mv_field(mv) == blob
+    if acfg.divide:
+        # the divided chunk's 4-byte size slot is dead space the
+        # reference never writes in the searched path (see
+        # decode_mv_field) — ours writes the real size; normalise it
+        enc = bytearray(encode_mv_field(mv))
+        off = len(enc) - (4 + mv.levels[0].x.size * 16)
+        blob = bytearray(blob)
+        blob[off:off + 4] = enc[off:off + 4]
+        assert bytes(enc) == bytes(blob)
+    else:
+        assert encode_mv_field(mv) == blob
 
 
 def test_golden_config1_single_level_exhaustive(harness, tmp_path):
@@ -175,6 +186,47 @@ def test_golden_overlap_and_blk8(harness, tmp_path):
                                 search=SearchType.HEX2, searchparam=2,
                                 truemotion=True, chroma=False),
                   seed=2)
+
+
+@pytest.mark.parametrize("dct", [1, 2, 3, 4])
+def test_golden_dct_modes(harness, tmp_path, dct):
+    """FFTW DCT cost modes 1-4 byte-exact against the reference search
+    driven by the scalar REDFT10 stub (pobLumaSAD PlaneOfBlocks.cpp:
+    117-163 + DCTFFTW.cpp:30-54 requantisation; dct_stub.cc implements
+    the transform the reference would get from fftwf)."""
+    _check_config(harness, tmp_path, 128, 96,
+                  SuperConfig(pel=2, levels=0, chroma=False),
+                  AnalyseConfig(blksize=16, levels=0,
+                                search=SearchType.HEX2, searchparam=2,
+                                truemotion=True, chroma=False, dct=dct),
+                  seed=30 + dct)
+
+
+@pytest.mark.parametrize("dct", [5, 6, 7, 8, 9, 10])
+def test_golden_satd_modes(harness, tmp_path, dct):
+    """SATD cost modes 5-10 byte-exact against the reference's own
+    scalar Satd_C (SADFunctions.cpp:581-761, already linked into the
+    harness — no fftw involved)."""
+    _check_config(harness, tmp_path, 128, 96,
+                  SuperConfig(pel=2, levels=0, chroma=False),
+                  AnalyseConfig(blksize=16, levels=0,
+                                search=SearchType.HEX2, searchparam=2,
+                                truemotion=True, chroma=False, dct=dct),
+                  seed=40 + dct)
+
+
+@pytest.mark.parametrize("divide", [1, 2])
+def test_golden_divide_modes(harness, tmp_path, divide):
+    """gopExtraDivide (GroupOfPlanes.c:206-302): the 4-children split
+    with SAD>>2, plus divide=2's median sub-vectors, byte-exact on the
+    <divided> blob level."""
+    _check_config(harness, tmp_path, 192, 128,
+                  SuperConfig(pel=2, levels=0, chroma=False),
+                  AnalyseConfig(blksize=8, levels=0,
+                                search=SearchType.HEX2, searchparam=2,
+                                truemotion=True, chroma=False,
+                                divide=divide),
+                  seed=50 + divide)
 
 
 @pytest.mark.parametrize("overlap", [0, 8])
