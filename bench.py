@@ -283,18 +283,21 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from mvtools_tpu import analyse, build_super
+    from mvtools_tpu import analyse, analyse_batch, build_super
     from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
     from mvtools_tpu.core.types import ColorFamily, VideoFormat
     from mvtools_tpu.degrain import DegrainConfig, degrain
 
     w = int(os.environ.get("MVT_BENCH_W", 1920))
     h = int(os.environ.get("MVT_BENCH_H", 1080))
-    batch = int(os.environ.get("MVT_BENCH_B", 8))
+    batch = int(os.environ.get("MVT_BENCH_B", 16))
     iters = int(os.environ.get("MVT_BENCH_ITERS", 3))
     blksize = int(os.environ.get("MVT_BENCH_BLKSIZE", 16))
     levels = int(os.environ.get("MVT_BENCH_LEVELS", 3))
     radius = int(os.environ.get("MVT_BENCH_RADIUS", 1))
+    # MVT_BENCH_LAXMAP=1 restores the per-frame lax.map pipeline (the
+    # pre-batched-engine shape, for A/B timing)
+    laxmap = bool(os.environ.get("MVT_BENCH_LAXMAP"))
 
     fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
     scfg = SuperConfig(pel=2, levels=levels, chroma=False)
@@ -320,7 +323,7 @@ def main():
     def pick(tree, i):
         return jax.tree_util.tree_map(lambda a: a[i], tree)
 
-    def batch_fn(window):
+    def batch_fn_laxmap(window):
         """window: [batch + 2*radius, H, W] frames -> [batch, H, W]
         denoised.  Supers are built once per frame and shared."""
         sups = jax.lax.map(lambda f: build_super([f], sspec), window)
@@ -342,6 +345,40 @@ def main():
         if engine == "lockstep":
             return jax.lax.map(one, jnp.arange(batch))
         return jax.vmap(one)(jnp.arange(batch))
+
+    def batch_fn_vmap(window):
+        """Frame-batched pipeline: ONE vmapped program serves the whole
+        window — supers vmapped, all 2*radius*batch analyses as one
+        analyse_batch call (kernel launches fold the job axis into the
+        Pallas grid), degrain vmapped over output frames."""
+        tm = jax.tree_util.tree_map
+        sups = jax.vmap(lambda f: build_super([f], sspec))(window)
+        src_idx, ref_idx = [], []
+        for i in range(batch):
+            c = i + radius
+            for k in range(1, radius + 1):
+                src_idx += [c, c]
+                ref_idx += [c + k, c - k]
+        src_idx = np.asarray(src_idx)
+        ref_idx = np.asarray(ref_idx)
+        sup_src = tm(lambda a: a[src_idx], sups)
+        sup_ref = tm(lambda a: a[ref_idx], sups)
+        mvb = analyse_batch(sup_src, sup_ref, aspec_b)      # [J]-batched
+        j_per = 2 * radius
+        mv_f = tm(lambda a: a.reshape((batch, j_per) + a.shape[1:]),
+                  mvb)
+        sup_f = tm(lambda a: a[ref_idx].reshape((batch, j_per)
+                                                + a.shape[1:]), sups)
+
+        def one(frame, mvs_b, sups_b):
+            mvs = [tm(lambda a: a[j], mvs_b) for j in range(j_per)]
+            sups_r = [tm(lambda a: a[j], sups_b) for j in range(j_per)]
+            return degrain([frame], sups_r, mvs, aspec_b.meta, dcfg)[0]
+
+        return jax.vmap(one)(window[radius:radius + batch], mv_f, sup_f)
+
+    batch_fn = (batch_fn_laxmap if laxmap or engine == "exact"
+                else batch_fn_vmap)
 
     step = jax.jit(batch_fn)
 

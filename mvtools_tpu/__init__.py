@@ -25,7 +25,7 @@ from .core.types import (  # noqa: E402
 )
 from .core.config import SuperConfig, AnalyseConfig  # noqa: E402
 from .super import Super, build_super, SuperClip  # noqa: E402
-from .analyse import analyse  # noqa: E402
+from .analyse import analyse, analyse_batch  # noqa: E402
 from .depan import (  # noqa: E402
     DepanAnalyseConfig,
     DepanCompensateConfig,
@@ -48,6 +48,7 @@ __all__ = [
     "SuperClip",
     "build_super",
     "analyse",
+    "analyse_batch",
     "DepanAnalyseConfig",
     "DepanCompensateConfig",
     "DepanEstimateConfig",

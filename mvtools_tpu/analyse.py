@@ -1215,8 +1215,15 @@ def _ring_offsets(r: int, s: int):
 
 def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                           global_mv, field_shift, mean_luma_change,
-                          iters: int = 2):
-    """Lock-step variant of search_level: same inputs/outputs."""
+                          iters: int = 2, rescue_mode: str = "inline",
+                          resc_state=None):
+    """Lock-step variant of search_level: same inputs/outputs.
+
+    rescue_mode: "inline" (default) runs the bad-SAD rescue inside this
+    call; "defer" skips it and returns (vectors, mlc, resc_state) so a
+    frame-batched caller can hoist the rescue's probe DMAs out of a
+    vmapped search; "apply" skips the search and runs ONLY the rescue
+    from a previously returned resc_state (per job, real lax.cond)."""
     nbx, nby = ctx.nblk
     nblk = nbx * nby
     bsx, bsy = ctx.blk_size
@@ -1397,6 +1404,17 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                                dctmode=dctmode, src_luma=src_luma_a,
                                dctweight16=dctweight16,
                                dct_src=dct_src_blocks)
+        if rescue_mode == "apply":
+            # rescue-only pass (the frame-batched engine defers the
+            # rescue here, one job at a time behind a real cond)
+            st = {k: resc_state[k]
+                  for k in ("bx", "by", "bsad", "mincost", "dir")}
+            st = fe.field_rescue(
+                prober, dense, level_params, st, resc_state["lam"],
+                (resc_state["prx"], resc_state["pry"]), idx,
+                probe_p=prober)
+            return (st["bx"], st["by"], st["bsad"]), mean_luma_change
+
         # dense tile-level SAD maps (ops/sadmap.py): for plain-SAD
         # search the per-candidate probes collapse into one map-kernel
         # pass per plane; every check() becomes a pure XLA lookup
@@ -1431,7 +1449,8 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
             st = fe.field_epz(p_it, dense, level_params, zs_y,
                               gx_scaled, gy_scaled, (prx, pry, prs),
                               (p0[:2], p1, p2, p3), lam_a, idx,
-                              do_rescue=(it == iters - 1),
+                              do_rescue=(rescue_mode == "inline"
+                                         and it == iters - 1),
                               probe_p=prober)
             vx_a, vy_a, vs_a = st["bx"], st["by"], st["bsad"]
         if smallest:
@@ -1442,6 +1461,11 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                 jax.vmap(sad_ops.luma)(ref0_blocks).astype(I64)
                 - jax.vmap(sad_ops.luma)(src_blocks).astype(I64))
             mean_luma_change = _trunc_div(sumluma, nblk).astype(I32)
+        if rescue_mode == "defer":
+            resc = dict(bx=vx_a, by=vy_a, bsad=vs_a,
+                        mincost=st["mincost"], dir=st["dir"],
+                        lam=lam_a, prx=prx, pry=pry)
+            return (vx_a, vy_a, vs_a), mean_luma_change, resc
         return (vx_a, vy_a, vs_a), mean_luma_change
 
     # ---- general path: vmapped per-block engine (dct modes) ---------------
@@ -1827,6 +1851,50 @@ def _level_ctx(src_super: Super, ref_super: Super, spec: AnalyseSpec,
         bits=sspec.bits, chroma=spec.chroma)
 
 
+def _level_plan(spec: AnalyseSpec, lv: int) -> dict:
+    """Static per-level search parameters — the per-level switches of
+    gopSearchMVs (GroupOfPlanes.c:69-125) shared by analyse and
+    analyse_batch."""
+    m = spec.meta
+    lv_count = m.lv_count
+    verybig = m.blk_size_x * m.blk_size_y * (1 << m.bits_per_sample)
+    pglobal = spec.pglobal if spec.global_ else spec.pzero
+    coarsest = lv == lv_count - 1
+    finest = lv == 0
+    if spec.search in (SearchType.HORIZONTAL, SearchType.VERTICAL):
+        search_lv = spec.search
+    elif coarsest:
+        search_lv = spec.search if lv_count == 1 else spec.search_coarse
+    elif finest:
+        search_lv = spec.search
+    else:
+        search_lv = spec.search_coarse
+    if coarsest:
+        param_lv = (spec.pel_search if lv_count == 1
+                    else spec.n_search_param)
+    elif finest:
+        param_lv = spec.pel_search
+    else:
+        param_lv = spec.n_search_param
+    trymany_lv = spec.trymany and lv > 0
+
+    # lambda scaling (doPobSearchMVs PlaneOfBlocks.cpp:1024-1028)
+    pel_lv = m.pel if lv == 0 else 1
+    lambda_level = spec.lambda_ // (pel_lv * pel_lv)
+    if spec.plevel == 1:
+        lambda_level *= (1 << lv)
+    elif spec.plevel == 2:
+        lambda_level *= (1 << lv) * (1 << lv)
+
+    return dict(
+        search=search_lv, param=param_lv, pzero=spec.pzero,
+        pglobal=pglobal, badsad=_i64(spec.badsad),
+        badrange=spec.badrange, trymany=trymany_lv,
+        dctmode=spec.dct, smallest_plane=coarsest,
+        meander=spec.meander, lsad=spec.lsad,
+        lambda_level=lambda_level, pnew=spec.pnew, verybig=verybig)
+
+
 def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
             field_shift=0, engine: str = "exact",
             lockstep_iters: int = 1) -> MVField:
@@ -1848,9 +1916,6 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
         raise ValueError(f"Analyse: unknown engine {engine!r}")
     m = spec.meta
     lv_count = m.lv_count
-    verybig = m.blk_size_x * m.blk_size_y * (1 << m.bits_per_sample)
-
-    pglobal = spec.pglobal if spec.global_ else spec.pzero
 
     global_mv = (_i32(0), _i32(0))
     mean_luma_change = _i32(0)
@@ -1861,32 +1926,9 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
     for lv in range(lv_count - 1, -1, -1):
         ctx = _level_ctx(src_super, ref_super, spec, lv)
         nbx, nby = ctx.nblk
-
         coarsest = lv == lv_count - 1
         finest = lv == 0
-        if spec.search in (SearchType.HORIZONTAL, SearchType.VERTICAL):
-            search_lv = spec.search
-        elif coarsest:
-            search_lv = spec.search if lv_count == 1 else spec.search_coarse
-        elif finest:
-            search_lv = spec.search
-        else:
-            search_lv = spec.search_coarse
-        if coarsest:
-            param_lv = spec.pel_search if lv_count == 1 else spec.n_search_param
-        elif finest:
-            param_lv = spec.pel_search
-        else:
-            param_lv = spec.n_search_param
-        trymany_lv = spec.trymany and lv > 0
-
-        # lambda scaling (doPobSearchMVs PlaneOfBlocks.cpp:1024-1028)
-        pel_lv = ctx.pel
-        lambda_level = spec.lambda_ // (pel_lv * pel_lv)
-        if spec.plevel == 1:
-            lambda_level *= (1 << lv)
-        elif spec.plevel == 2:
-            lambda_level *= (1 << lv) * (1 << lv)
+        level_params = _level_plan(spec, lv)
 
         if coarsest:
             vectors_in = (jnp.zeros((nbx * nby,), I32),
@@ -1894,7 +1936,6 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
                           jnp.zeros((nbx * nby,), I64))
         else:
             if spec.global_:
-                prev_nbx, prev_nby = level_fields[lv + 1]["nblk"]
                 global_mv = estimate_global_mv_doubled(
                     vectors[0], vectors[1], 1)
             vectors_in = interpolate_prediction(
@@ -1903,14 +1944,6 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
                 ctx.log_pel)
 
         fs_cur = jnp.where(finest, field_shift, 0).astype(I32)
-
-        level_params = dict(
-            search=search_lv, param=param_lv, pzero=spec.pzero,
-            pglobal=pglobal, badsad=_i64(spec.badsad),
-            badrange=spec.badrange, trymany=trymany_lv,
-            dctmode=spec.dct, smallest_plane=coarsest,
-            meander=spec.meander, lsad=spec.lsad,
-            lambda_level=lambda_level, pnew=spec.pnew, verybig=verybig)
 
         if engine == "exact":
             vectors, mean_luma_change = search_level(
@@ -1940,3 +1973,184 @@ def analyse(src_super: Super, ref_super: Super, spec: AnalyseSpec,
                                           ds.reshape(2 * m.blk_y, 2 * m.blk_x)))
         meta = spec.divided_meta
     return MVField(tuple(levels_out), jnp.ones((), I32), meta)
+
+
+def batch_supported(spec: AnalyseSpec, sspec) -> bool:
+    """Static predicate: every pyramid level of this config rides the
+    dense-map search (no per-candidate probe DMAs inside the vmapped
+    field search), so analyse_batch can vmap the whole engine."""
+    import os as _os
+    from . import field_engine as fe
+    if _os.environ.get("MVT_SADMAP", "1") == "0":
+        return False
+    if not (spec.dct == 0 or 5 <= spec.dct <= 10):
+        return False
+    for lv in range(spec.meta.lv_count):
+        ctx = _level_ctx_static(spec, sspec, lv)
+        if not fe.map_supported(ctx, fe.map_radius(ctx), spec.dct):
+            return False
+    return True
+
+
+def _level_ctx_static(spec: AnalyseSpec, sspec, level: int) -> LevelCtx:
+    """LevelCtx with src/ref array slots EMPTY — only the static
+    geometry fields are populated (enough for map_supported)."""
+    m = spec.meta
+    from .core import geometry
+    geos = geometry.level_geometries(
+        sspec.width, sspec.height, sspec.hpad, sspec.vpad, sspec.pel,
+        sspec.levels, sspec.x_ratio_uv, sspec.y_ratio_uv)
+    g = geos[level]
+    gc = geometry.chroma_geometry(g, sspec.x_ratio_uv, sspec.y_ratio_uv)
+    pel = sspec.pel if level == 0 else 1
+    width_b = (m.blk_size_x - m.overlap_x) * m.blk_x + m.overlap_x
+    height_b = (m.blk_size_y - m.overlap_y) * m.blk_y + m.overlap_y
+    nbx, nby = geometry.level_block_counts(
+        width_b, height_b, m.blk_size_x, m.blk_size_y, m.overlap_x,
+        m.overlap_y, level)
+    logx = geometry.ilog2(sspec.x_ratio_uv)
+    logy = geometry.ilog2(sspec.y_ratio_uv)
+    return LevelCtx(
+        src_planes=(), ref_stacks=(), level=level, pel=pel,
+        log_pel=geometry.ilog2(pel),
+        blk_size=(m.blk_size_x, m.blk_size_y),
+        blk_size_c=(m.blk_size_x >> logx, m.blk_size_y >> logy),
+        nblk=(nbx, nby), overlap=(m.overlap_x, m.overlap_y),
+        log_ratio_uv=(logx, logy),
+        hpad=(g.hpad, gc.hpad), vpad=(g.vpad, gc.vpad),
+        padded=(g.padded_width, g.padded_height),
+        bits=sspec.bits, chroma=spec.chroma)
+
+
+def analyse_batch(src_supers: Super, ref_supers: Super,
+                  spec: AnalyseSpec, field_shift=0,
+                  lockstep_iters: int = 1) -> MVField:
+    """Frame-batched lockstep analyse: Super pytrees with a leading job
+    axis [J] -> MVField with [J]-leading leaves.
+
+    The whole hierarchical search runs as ONE vmapped program per level:
+    every whole-field XLA op serves all J jobs at once (amortising the
+    per-op dispatch that dominates single-frame analyse), and the dense
+    SAD-map kernel builds fold the job axis into the Pallas grid (one
+    launch per plane per level for the whole batch — sadmap.sad_map).
+    The bad-SAD rescue (whose probe DMAs must stay behind genuine
+    runtime branches; a vmapped cond runs both sides) is deferred out of
+    the vmap and applied per job behind one global scalar short-circuit
+    — semantics identical to per-job analyse(engine="lockstep").
+
+    Configs where some level cannot ride the dense map (pel 4, deep
+    bits, dct 1-4, tiny coarse planes) fall back to lax.map over
+    analyse().  The innermost loop replaced is the reference's per-block
+    pobPseudoEPZSearch scan (PlaneOfBlocks.cpp:819-968) — here the
+    batch axis is frames, not blocks."""
+    m = spec.meta
+    lv_count = m.lv_count
+    nj = jax.tree_util.tree_leaves(src_supers)[0].shape[0]
+
+    if not batch_supported(spec, src_supers.spec):
+        def one(args):
+            ss, rs = args
+            return analyse(ss, rs, spec, field_shift, engine="lockstep",
+                           lockstep_iters=lockstep_iters)
+        return jax.lax.map(one, (src_supers, ref_supers))
+
+    field_shift = _i32(field_shift)
+    mlc = jnp.zeros((nj,), I32)
+    gmx = jnp.zeros((nj,), I32)
+    gmy = jnp.zeros((nj,), I32)
+    nplanes = 3 if spec.chroma else 1
+
+    level_fields = {}
+    vectors = None
+    for lv in range(lv_count - 1, -1, -1):
+        level_params = _level_plan(spec, lv)
+        coarsest = lv == lv_count - 1
+        finest = lv == 0
+        ctx0 = _level_ctx_static(spec, src_supers.spec, lv)
+        nbx, nby = ctx0.nblk
+        nblk = nbx * nby
+
+        def stack_of_b(sup, p):
+            arr = sup.planes[p][lv]
+            return arr[:, None] if arr.ndim == 3 else arr
+
+        def sub0_b(sup, p):
+            arr = sup.planes[p][lv]
+            return arr[:, 0] if arr.ndim == 4 else arr
+
+        src_planes_b = tuple(sub0_b(src_supers, p)
+                             for p in range(nplanes))
+        ref_stacks_b = tuple(stack_of_b(ref_supers, p)
+                             for p in range(nplanes))
+
+        if coarsest:
+            vectors_in = (jnp.zeros((nj, nblk), I32),
+                          jnp.zeros((nj, nblk), I32),
+                          jnp.zeros((nj, nblk), I64))
+        else:
+            if spec.global_:
+                gmx, gmy = jax.vmap(
+                    lambda vx, vy: estimate_global_mv_doubled(vx, vy, 1)
+                )(vectors[0], vectors[1])
+            pnbx, pnby = level_fields[lv + 1]["nblk"]
+            vectors_in = jax.vmap(
+                lambda v: interpolate_prediction(
+                    v, pnbx, pnby, nbx, nby,
+                    (m.blk_size_x, m.blk_size_y),
+                    (m.overlap_x, m.overlap_y), ctx0.log_pel))(vectors)
+
+        fs_cur = jnp.where(finest, field_shift, 0).astype(I32)
+
+        def search_one(src_planes, ref_stacks, vin, gx, gy, mlc_j):
+            ctx = ctx0._replace(src_planes=src_planes,
+                                ref_stacks=ref_stacks)
+            return search_level_lockstep(
+                ctx, spec, level_params, vin, (gx, gy), fs_cur, mlc_j,
+                iters=lockstep_iters, rescue_mode="defer")
+
+        (vx, vy, vs), mlc, resc = jax.vmap(search_one)(
+            src_planes_b, ref_stacks_b, vectors_in, gmx, gmy, mlc)
+
+        idx = jnp.arange(nblk, dtype=I32)
+        bad_any = jnp.any((idx[None, :] > 1)
+                          & (resc["bsad"] > level_params["badsad"]))
+
+        def apply_all(ops):
+            def one(args):
+                vin_j, gx_j, gy_j, mlc_j, resc_j, sp_j, rs_j = args
+                ctx = ctx0._replace(src_planes=sp_j, ref_stacks=rs_j)
+                (bx, by, bs_), _ = search_level_lockstep(
+                    ctx, spec, level_params, vin_j, (gx_j, gy_j),
+                    fs_cur, mlc_j, iters=lockstep_iters,
+                    rescue_mode="apply", resc_state=resc_j)
+                return bx, by, bs_
+            return jax.lax.map(one, ops)
+
+        ops = (vectors_in, gmx, gmy, mlc, resc, src_planes_b,
+               ref_stacks_b)
+        vectors = jax.lax.cond(
+            bad_any, apply_all,
+            lambda o: (o[4]["bx"], o[4]["by"], o[4]["bsad"]), ops)
+        level_fields[lv] = {"vectors": vectors, "nblk": (nbx, nby)}
+
+    levels_out = []
+    for lv in range(lv_count):
+        vx, vy, vs = level_fields[lv]["vectors"]
+        nbx, nby = level_fields[lv]["nblk"]
+        levels_out.append(MVPlaneField(vx.reshape(nj, nby, nbx),
+                                       vy.reshape(nj, nby, nbx),
+                                       vs.reshape(nj, nby, nbx)))
+    meta = m
+    if spec.divide:
+        flat = tuple(a.reshape(nj, -1) for a in
+                     (levels_out[0].x, levels_out[0].y,
+                      levels_out[0].sad))
+        dx, dy, ds = jax.vmap(
+            lambda v: divide_extra(v, m.blk_x, m.blk_y,
+                                   spec.divide))(flat)
+        levels_out.insert(
+            0, MVPlaneField(dx.reshape(nj, 2 * m.blk_y, 2 * m.blk_x),
+                            dy.reshape(nj, 2 * m.blk_y, 2 * m.blk_x),
+                            ds.reshape(nj, 2 * m.blk_y, 2 * m.blk_x)))
+        meta = spec.divided_meta
+    return MVField(tuple(levels_out), jnp.ones((nj,), I32), meta)

@@ -105,7 +105,7 @@ def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
                 row_len=block_x.shape[1], pitch_x=pitch_fp)[:, 0]
         else:
             flat = probe_ops.spatial_shard(
-                lambda y, x: probe_ops.fetch_blocks_pallas(
+                lambda y, x: probe_ops.fetch_blocks(
                     stackp, y[:, None], x[:, None], bsy, bsx,
                     stack_pel)[:, 0],
                 [ya, xa])

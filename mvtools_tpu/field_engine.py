@@ -127,8 +127,8 @@ class FieldProber:
         bs_y, bs_x = self.bs[1], self.bs[0]
         tiny = cy.shape[0] * cy.shape[1] <= probe_ops.TINY_PROBE
         if jax.default_backend() == "tpu" and not tiny:
-            return probe_ops.fetch_blocks_pallas(self.stack, cy, cx,
-                                                 bs_y, bs_x, self.pel)
+            return probe_ops.fetch_blocks(self.stack, cy, cx,
+                                          bs_y, bs_x, self.pel)
         pelm = self.pel - 1
         logp = self.logp
 
@@ -361,10 +361,17 @@ class FieldProber:
 
 
 def _map_tile(ctx) -> int:
-    """Blocks per map tile: fill ~one 128-lane span."""
+    """Blocks per map tile: fill ~MVT_MAP_SPAN lanes (default 256 — two
+    vregs; the per-offset fixed costs in the map kernel amortise over
+    the span, so wider tiles cut the dominant per-(tile, offset) op
+    count roughly in half vs one vreg)."""
+    env = os.environ.get("MVT_MAP_TILE")
+    if env:
+        return min(int(env), ctx.nblk[0])
+    span = int(os.environ.get("MVT_MAP_SPAN", "256"))
     bsx = ctx.blk_size[0]
     pitch = bsx - ctx.overlap[0]
-    t = max(2, min(32, (128 - bsx) // max(1, pitch) + 1))
+    t = max(2, min(32, (span - bsx) // max(1, pitch) + 1))
     return min(t, ctx.nblk[0])
 
 
@@ -566,7 +573,9 @@ class MapProber(FieldProber):
                 spans = spans_of(plane, y0s, x0s, bh, span_pad)
 
                 def run(fy, fx, sp):
-                    return sadmap.sad_map_pallas(
+                    # vmap-aware: a frame-batched analyse folds the
+                    # batch into one kernel launch (sadmap.sad_map)
+                    return sadmap.sad_map(
                         stack, fy, fx, sp, ry, rx, bh, bw, pel, tile,
                         pit, stats=stats)
 
@@ -1233,9 +1242,24 @@ def field_epz(p: FieldProber, dense, level_params, zs_y, gx, gy,
     # ---- bad-SAD rescue (PlaneOfBlocks.cpp:938-963) ------------------------
     if not do_rescue:
         return st
+    return field_rescue(p, dense, level_params, st, lam, pred, idx,
+                        probe_p)
+
+
+def field_rescue(p: FieldProber, dense, level_params, st, lam, pred,
+                 idx, probe_p: Optional[FieldProber] = None):
+    """The bad-SAD rescue tail of field_epz (PlaneOfBlocks.cpp:938-963),
+    standalone so a frame-batched analyse can defer it out of the
+    vmapped search (its probe DMAs must stay behind a genuine runtime
+    branch — under vmap a batched cond runs both sides)."""
+    if probe_p is None:
+        probe_p = p
+    badsad = level_params["badsad"]
+    badrange = level_params["badrange"]
+    nblk = st["bx"].shape[0]
     found_sad = st["bsad"]
     bad = (idx > 1) & (found_sad > _i64(badsad))
-    pelf = pel
+    pelf = p.pel
 
     def rescue(st):
         st = dict(st)

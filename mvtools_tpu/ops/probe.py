@@ -884,7 +884,7 @@ def probe_sads_tiled(stack, cand_y, cand_x, src_blocks, offsets,
 
 def _fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
                   coord_smem, sems, coord_sem, *, bs_y, bs_x, pel, chunk,
-                  k):
+                  k, n_pad=0):
     logp = pel.bit_length() - 1
     pelm = np.int32(pel - 1)
     wy = -(-(bs_y + 8) // 32) * 32
@@ -921,6 +921,12 @@ def _fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
         ay, ax, _, _ = window_base(t)
         cy, cx = center(t)
         sub = (cx & pelm) | ((cy & pelm) << logp)
+        if n_pad:
+            # frame-batched fetch: blocks laid out frame-major, each
+            # frame's count padded to n_pad
+            fid = (g * np.int32(chunk) + np.int32(t // k)) \
+                // np.int32(n_pad)
+            sub = fid * np.int32(pel * pel) + sub
         return pltpu.make_async_copy(
             stack_ref.at[sub, pl.ds(ay, wy), pl.ds(ax, wx)],
             win_scratch.at[np.int32(slot)], sems.at[np.int32(slot)])
@@ -950,7 +956,7 @@ def _fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
 def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
                         fb_scratch, coord_smem, sems, fb_sem, coord_sems,
                         *, bs_y, bs_x, pel, tile, chunk_t, k, wy_total,
-                        wx_total, center_y, center_x, grid_n):
+                        wx_total, center_y, center_x, grid_n, n_pad=0):
     """Tiled variant of _fetch_kernel: one [pel^2, WY, WX] window DMA
     per tile of consecutive blocks; a block whose window misses the
     tile extent falls back to its own private window DMA (predicated —
@@ -993,10 +999,19 @@ def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
         ax = _tile_base(x0, xm, x1, center_x, W - wx_total, ~127)
         return (pl.multiple_of(ay, 8), pl.multiple_of(ax, 128))
 
-    def tile_dmas(buf, j):
+    def sub_base(step, j):
+        """Frame-batched fetches (n_pad > 0: tiles per frame, frame-
+        major layout): the subplane base of tile `step*chunk_t + j`."""
+        if not n_pad:
+            return np.int32(0)
+        fid = (step * np.int32(chunk_t) + np.int32(j)) // np.int32(n_pad)
+        return fid * np.int32(n_sub)
+
+    def tile_dmas(buf, j, step):
         ay, ax = base_of(buf, j)
+        sb = sub_base(step, j)
         return [pltpu.make_async_copy(
-                    stack_ref.at[np.int32(s), pl.ds(ay, wy_total),
+                    stack_ref.at[sb + np.int32(s), pl.ds(ay, wy_total),
                                  pl.ds(ax, wx_total)],
                     win_scratch.at[np.int32(j), np.int32(s)],
                     sems.at[np.int32(j)])
@@ -1014,19 +1029,23 @@ def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
     @pl.when(g == np.int32(0))
     def _():
         for j in range(chunk_t):
-            for c in tile_dmas(0, j):
+            for c in tile_dmas(0, j, g):
                 c.start()
 
     for j in range(chunk_t):
-        for c in tile_dmas(0, j):
+        for c in tile_dmas(0, j, g):
             c.wait()
         ay, ax = base_of(0, j)
+        sb = sub_base(g, j)
         for b in range(tile):
             blk = j * tile + b
             blks = []
             for kk_ in range(k):
                 cy, cx = center(0, blk, kk_)
                 wb_y, wb_x = wb_of(0, blk, kk_)
+                # win_scratch holds this tile's own frame: LOCAL
+                # subplane index; the fallback DMA reads the stack:
+                # frame-offset (global) index
                 sub = (cx & pelm) | ((cy & pelm) << logp)
                 rel_y = wb_y - ay
                 rel_x = wb_x - ax
@@ -1039,7 +1058,8 @@ def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
                 fy = pl.multiple_of(wb_y & np.int32(~7), 8)
                 fx = pl.multiple_of(wb_x & np.int32(~127), 128)
                 fb = pltpu.make_async_copy(
-                    stack_ref.at[sub, pl.ds(fy, fwy), pl.ds(fx, fwx)],
+                    stack_ref.at[sb + sub, pl.ds(fy, fwy),
+                                 pl.ds(fx, fwx)],
                     fb_scratch, fb_sem)
 
                 @pl.when(jnp.logical_not(valid))
@@ -1075,7 +1095,7 @@ def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
             for c in coord_copies(1, g + 1):
                 c.wait()
             for j in range(chunk_t):
-                for c in tile_dmas(1, j):
+                for c in tile_dmas(1, j, g + 1):
                     c.start()
 
 
@@ -1084,8 +1104,16 @@ def fetch_blocks_tiled_pallas(stack, cand_y, cand_x, bs_y: int,
                               wy_total: int, wx_total: int,
                               center_y: int, center_x: int):
     """[nblk, K, bs_y, bs_x] int32 blocks, tiled window DMAs + exact
-    per-block fallback.  nblk must be a multiple of `tile`."""
-    nblk, kk = cand_y.shape
+    per-block fallback.  nblk must be a multiple of `tile`.
+
+    Frame-batched form: stack [F, pel^2, Hp, Wp], cand_y/x [F, nblk, K]
+    -> [F, nblk, K, bs_y, bs_x] from ONE kernel launch."""
+    batched = cand_y.ndim == 3
+    if not batched:
+        stack = stack[None]
+        cand_y = cand_y[None]
+        cand_x = cand_x[None]
+    nf, nblk, kk = cand_y.shape
     chunk_t = max(1, min(8, 64 // (tile * kk)))
     slot_bytes = pel * pel * wy_total * wx_total * stack.dtype.itemsize
     chunk_t = max(1, min(chunk_t, (4 << 20) // slot_bytes))
@@ -1093,19 +1121,26 @@ def fetch_blocks_tiled_pallas(stack, cand_y, cand_x, bs_y: int,
 
     pad_blk = (-nblk) % nblocks
     if pad_blk:
-        cand_y = jnp.pad(cand_y, ((0, pad_blk), (0, 0)), mode="edge")
-        cand_x = jnp.pad(cand_x, ((0, pad_blk), (0, 0)), mode="edge")
-    n = cand_y.shape[0]
+        cand_y = jnp.pad(cand_y, ((0, 0), (0, pad_blk), (0, 0)),
+                         mode="edge")
+        cand_x = jnp.pad(cand_x, ((0, 0), (0, pad_blk), (0, 0)),
+                         mode="edge")
+    nb_pad = cand_y.shape[1]
+    n = nf * nb_pad
     grid = n // nblocks
+    cand_y = cand_y.reshape(n, kk)
+    cand_x = cand_x.reshape(n, kk)
     cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
     cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
+    stack = stack.reshape((nf * pel * pel,) + stack.shape[-2:])
 
     fwy = -(-(bs_y + 8) // 32) * 32
     fwx = -(-(bs_x + 128) // 128) * 128
     kernel = functools.partial(
         _tiled_fetch_kernel, bs_y=bs_y, bs_x=bs_x, pel=pel, tile=tile,
         chunk_t=chunk_t, k=kk, wy_total=wy_total, wx_total=wx_total,
-        center_y=center_y, center_x=center_x, grid_n=grid)
+        center_y=center_y, center_x=center_x, grid_n=grid,
+        n_pad=(nb_pad // tile if nf > 1 else 0))
     z = np.int32(0)
     out = pl.pallas_call(
         kernel,
@@ -1130,7 +1165,33 @@ def fetch_blocks_tiled_pallas(stack, cand_y, cand_x, bs_y: int,
         out_shape=jax.ShapeDtypeStruct((n, kk, bs_y, bs_x), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(cand_y, cand_x, stack)
-    return out[:nblk]
+    out = out.reshape((nf, nb_pad) + out.shape[1:])[:, :nblk]
+    return out if batched else out[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _fetch_tiled_vmappable(bs_y, bs_x, pel, tile, wy_total, wx_total,
+                           center_y, center_x):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(stack, cand_y, cand_x):
+        return fetch_blocks_tiled_pallas(stack, cand_y, cand_x, bs_y,
+                                         bs_x, pel, tile, wy_total,
+                                         wx_total, center_y, center_x)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, stack, cand_y, cand_x):
+        def bc(x, is_b):
+            return x if is_b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+        out = fetch_blocks_tiled_pallas(
+            bc(stack, in_batched[0]), bc(cand_y, in_batched[1]),
+            bc(cand_x, in_batched[2]), bs_y, bs_x, pel, tile, wy_total,
+            wx_total, center_y, center_x)
+        return out, True
+
+    return f
 
 
 def fetch_blocks_tiled(stack, cand_y, cand_x, bs_y: int, bs_x: int,
@@ -1148,8 +1209,7 @@ def fetch_blocks_tiled(stack, cand_y, cand_x, bs_y: int, bs_x: int,
                  or stack.shape[2] < wx_total)
     if too_small or nblk % row_len != 0:
         return spatial_shard(
-            lambda cy, cx: fetch_blocks_pallas(stack, cy, cx, bs_y,
-                                               bs_x, pel),
+            lambda cy, cx: fetch_blocks(stack, cy, cx, bs_y, bs_x, pel),
             [cand_y, cand_x])
 
     def run(cy, cx):
@@ -1165,9 +1225,11 @@ def fetch_blocks_tiled(stack, cand_y, cand_x, bs_y: int, bs_x: int,
             return jnp.pad(a, pad, mode="edge").reshape(
                 (nrows * rlp,) + a.shape[2:])
 
-        out = fetch_blocks_tiled_pallas(stack, rpad(cy), rpad(cx),
-                                        bs_y, bs_x, pel, tile, wy_total,
-                                        wx_total, center_y, center_x)
+        # vmap-aware: a frame-batched degrain folds its batch into one
+        # fetch-kernel launch
+        out = _fetch_tiled_vmappable(
+            bs_y, bs_x, pel, tile, wy_total, wx_total, center_y,
+            center_x)(stack, rpad(cy), rpad(cx))
         if rlp != row_len:
             out = out.reshape((nrows, rlp) + out.shape[1:])[:, :row_len]
             out = out.reshape((nb,) + out.shape[2:])
@@ -1181,8 +1243,16 @@ def fetch_blocks_pallas(stack, cand_y, cand_x, bs_y: int, bs_x: int,
     """[nblk, K, bs_y, bs_x] int32 blocks at per-block pel positions.
 
     stack: pad_stack output; cand_y/cand_x: [nblk, K] PEL positions of
-    the block origin (frame padding + probe padding included)."""
-    nblk, kk = cand_y.shape
+    the block origin (frame padding + probe padding included).
+
+    Frame-batched form: stack [F, pel^2, Hp, Wp], cand_y/x [F, nblk, K]
+    -> [F, nblk, K, bs_y, bs_x] from ONE kernel launch."""
+    batched = cand_y.ndim == 3
+    if not batched:
+        stack = stack[None]
+        cand_y = cand_y[None]
+        cand_x = cand_x[None]
+    nf, nblk, kk = cand_y.shape
     if chunk <= 0:
         chunk = max(1, min(64, 64 // kk))
     if n_buf <= 0:
@@ -1192,15 +1262,22 @@ def fetch_blocks_pallas(stack, cand_y, cand_x, bs_y: int, bs_x: int,
 
     pad_blk = (-nblk) % chunk
     if pad_blk:
-        cand_y = jnp.pad(cand_y, ((0, pad_blk), (0, 0)), mode="edge")
-        cand_x = jnp.pad(cand_x, ((0, pad_blk), (0, 0)), mode="edge")
-    n = cand_y.shape[0]
+        cand_y = jnp.pad(cand_y, ((0, 0), (0, pad_blk), (0, 0)),
+                         mode="edge")
+        cand_x = jnp.pad(cand_x, ((0, 0), (0, pad_blk), (0, 0)),
+                         mode="edge")
+    nb_pad = cand_y.shape[1]
+    n = nf * nb_pad
     grid = n // chunk
+    cand_y = cand_y.reshape(n, kk)
+    cand_x = cand_x.reshape(n, kk)
     cand_y = jnp.pad(cand_y, ((0, 0), (0, 128 - kk)), mode="edge")
     cand_x = jnp.pad(cand_x, ((0, 0), (0, 128 - kk)), mode="edge")
+    stack = stack.reshape((nf * pel * pel,) + stack.shape[-2:])
 
     kernel = functools.partial(_fetch_kernel, bs_y=bs_y, bs_x=bs_x,
-                               pel=pel, chunk=chunk, k=kk)
+                               pel=pel, chunk=chunk, k=kk,
+                               n_pad=(nb_pad if nf > 1 else 0))
     z = np.int32(0)
     out = pl.pallas_call(
         kernel,
@@ -1222,4 +1299,33 @@ def fetch_blocks_pallas(stack, cand_y, cand_x, bs_y: int, bs_x: int,
         out_shape=jax.ShapeDtypeStruct((n, kk, bs_y, bs_x), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(cand_y, cand_x, stack)
-    return out[:nblk]
+    out = out.reshape((nf, nb_pad) + out.shape[1:])[:, :nblk]
+    return out if batched else out[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _fetch_vmappable(bs_y, bs_x, pel):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(stack, cand_y, cand_x):
+        return fetch_blocks_pallas(stack, cand_y, cand_x, bs_y, bs_x,
+                                   pel)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, stack, cand_y, cand_x):
+        def bc(x, is_b):
+            return x if is_b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+        out = fetch_blocks_pallas(
+            bc(stack, in_batched[0]), bc(cand_y, in_batched[1]),
+            bc(cand_x, in_batched[2]), bs_y, bs_x, pel)
+        return out, True
+
+    return f
+
+
+def fetch_blocks(stack, cand_y, cand_x, bs_y: int, bs_x: int, pel: int):
+    """vmap-aware fetch_blocks_pallas (frame batches fold into the
+    kernel grid)."""
+    return _fetch_vmappable(bs_y, bs_x, pel)(stack, cand_y, cand_x)

@@ -29,6 +29,7 @@ field engine falls back to probes beyond that (map_supported).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,9 +62,27 @@ def map_geom(r_y: int, r_x: int, bs_y: int, bs_x: int, pel: int,
     wy_logical = bs_y + (max_oy - min_oy)
     rows2 = -(-wy_logical // 8) * 8
     wx_logical = span_pad + (max_ox - min_ox)
-    wy_total = -(-(wy_logical + 8) // 32) * 32
+    # the sublane-stacked kernel slides an SL-row window over bs_y
+    # source rows: keep the DMA tall enough for that path too
+    sl = -(-(max_oy - min_oy + 1) // 8) * 8
+    rows_v2 = -(-(bs_y + sl - 1) // 8) * 8
+    wy_total = -(-max(wy_logical + 8, rows_v2) // 32) * 32
     wx_total = -(-(wx_logical + 128) // 128) * 128
     return min_oy, min_ox, span_x, span_pad, rows2, wy_total, wx_total
+
+
+def v2_geom(r_y: int, r_x: int, bs_y: int, pel: int, tile: int,
+            bs_x: int, pitch_fp: int):
+    """Static geometry of the sublane-stacked kernel path: n_oy full-pel
+    rows in the offset grid, SL sublanes holding them in the
+    accumulator, rows_v2 window rows the per-y slide reads.  The path
+    is usable when rows_v2 fits the DMA'd window."""
+    logp = pel.bit_length() - 1
+    n_oy = (r_y >> logp) - ((-r_y) >> logp) + 1
+    sl = -(-n_oy // 8) * 8
+    rows_v2 = -(-(bs_y + sl - 1) // 8) * 8
+    wy_total = map_geom(r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp)[5]
+    return n_oy, sl, rows_v2, rows_v2 <= wy_total
 
 
 def grid_offsets(r_y: int, r_x: int):
@@ -125,7 +144,7 @@ def _satd_span_mats(span_pad: int, bs_y: int, bs_x: int, pitch_fp: int,
 
 def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
                    *rest, r_y, r_x, bs_y, bs_x, pel, tile, chunk_t,
-                   pitch_fp, grid_n, stats="sad"):
+                   pitch_fp, grid_n, stats="sad", n_pad=0):
     if stats == "sad_satd_luma":
         satd_mats = tuple(r[...] for r in rest[:6])
         rest = rest[6:]
@@ -156,8 +175,24 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
                 pl.multiple_of(bx & np.int32(~127), 128),
                 by & np.int32(7), bx & np.int32(127))
 
-    def tile_dmas(buf, j):
+    def tile_dmas(buf, j, step):
+        """Window DMAs for tile `step*chunk_t + j`; in frame-batched
+        maps (n_pad > 0: tiles of a whole frame batch laid out frame-
+        major, each frame's tile count padded to n_pad) the subplane
+        base is the tile's frame id times pel^2."""
         ay, ax, _, _ = base_of(buf, j)
+        if n_pad:
+            fid = (step * np.int32(chunk_t) + np.int32(j)) \
+                // np.int32(n_pad)
+            base = fid * np.int32(n_sub)
+            return [pltpu.make_async_copy(
+                        stack_ref.at[pl.ds(base + np.int32(s), 1),
+                                     pl.ds(ay, wy_total),
+                                     pl.ds(ax, wx_total)],
+                        win_scratch.at[np.int32(j),
+                                       pl.ds(np.int32(s), 1)],
+                        sems.at[np.int32(j)])
+                    for s in range(n_sub)]
         return [pltpu.make_async_copy(
                     stack_ref.at[np.int32(s), pl.ds(ay, wy_total),
                                  pl.ds(ax, wx_total)],
@@ -180,20 +215,23 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
     @pl.when(g == np.int32(0))
     def _():
         for j in range(chunk_t):
-            for c in tile_dmas(0, j):
+            for c in tile_dmas(0, j, g):
                 c.start()
 
     for j in range(chunk_t):
-        for c in tile_dmas(0, j):
+        for c in tile_dmas(0, j, g):
             c.wait()
         _, _, ry, rx = base_of(0, j)
         # un-rotate the alignment shift once per (tile, subplane); every
-        # grid offset is then a STATIC slice of the rolled plane
+        # grid offset is then a STATIC slice of the rolled plane (the
+        # sad path's sublane-stacked slide reads rows_v2 >= rows2 rows)
+        rows_v2 = v2_geom(r_y, r_x, bs_y, pel, tile, bs_x, pitch_fp)[2]
+        rows_keep = max(rows2, rows_v2 if satd_mats is None else 0)
         planes = []
         for s in range(n_sub):
             w2 = win_scratch[np.int32(j), np.int32(s)].astype(I32)
             w2 = pltpu.roll(w2, -ry, 0)
-            w2 = jax.lax.slice(w2, (0, 0), (rows2, wx_total))
+            w2 = jax.lax.slice(w2, (0, 0), (rows_keep, wx_total))
             w2 = pltpu.roll(w2, -rx, 1)
             planes.append(w2)
         src = src_ref[j].astype(I32)            # [bs_y, span_pad]
@@ -205,21 +243,52 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
             return jnp.dot(x, y, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
-        rows_out = []
-        for dy in range(-r_y, r_y + 1):
-            oy = (dy >> logp) - min_oy
+        if satd_mats is None:
+            # sublane-stacked evaluation: for each (dx, sub-y-parity)
+            # the SL accumulator sublanes hold ALL the grid's full-pel
+            # dy rows at once — row oy of `acc` accumulates
+            # sum_y |C[oy+y, x] - src[y, x]| via a per-source-row slide
+            # — and ONE [SL, span] x [span, tile] pool matmul yields SL
+            # offsets' SADs.  This exists because tiny per-offset pool
+            # dots measured ~70 cycles each on this MXU (the v1 layout
+            # paid D of them per tile); here it is (2*r_x+1)*pel dots
+            # per tile.  The host reorders the (dx, parity, oy) rows to
+            # the dy-major map order (static take, outside the kernel).
+            n_oy, sl, rows_v2, _ = v2_geom(r_y, r_x, bs_y, pel, tile,
+                                           bs_x, pitch_fp)
+            pieces = []
             for dx in range(-r_x, r_x + 1):
-                sub = (dx & int(pelm)) | ((dy & int(pelm)) << logp)
                 ox = (dx >> logp) - min_ox
-                ref = jax.lax.slice(planes[sub], (oy, ox),
-                                    (oy + bs_y, ox + span_pad))
-                d = ref - src
-                # 8-bit data: column sums <= 255*bs_y and block sums
-                # <= 255*bs_y*bs_x < 2^24 are exact in f32
-                colsum = jnp.sum(jnp.abs(d).astype(jnp.float32),
-                                 axis=0, keepdims=True)
-                rows_out.append(dot(colsum, pool).astype(I32))
-                if satd_mats is not None:
+                px = int(dx & int(pelm))
+                for py in range(pel):
+                    sub = px | (py << logp)
+                    c = jax.lax.slice(planes[sub], (0, ox),
+                                      (rows_v2, ox + span_pad))
+                    acc = jnp.zeros((sl, span_pad), I32)
+                    for y in range(bs_y):
+                        wnd = jax.lax.slice(c, (y, 0),
+                                            (y + sl, span_pad))
+                        srow = jax.lax.slice(src, (y, 0),
+                                             (y + 1, span_pad))
+                        acc = acc + jnp.abs(wnd - srow)
+                    # 8-bit data: block sums < 2^24, exact in the f32
+                    # pooling matmul
+                    pieces.append(dot(acc.astype(jnp.float32),
+                                      pool).astype(I32))
+            rows_out = pieces
+        else:
+            rows_out = []
+            for dy in range(-r_y, r_y + 1):
+                oy = (dy >> logp) - min_oy
+                for dx in range(-r_x, r_x + 1):
+                    sub = (dx & int(pelm)) | ((dy & int(pelm)) << logp)
+                    ox = (dx >> logp) - min_ox
+                    ref = jax.lax.slice(planes[sub], (oy, ox),
+                                        (oy + bs_y, ox + span_pad))
+                    d = ref - src
+                    colsum = jnp.sum(jnp.abs(d).astype(jnp.float32),
+                                     axis=0, keepdims=True)
+                    rows_out.append(dot(colsum, pool).astype(I32))
                     hb_r, hb_c_t, p_r, p_c, q, pool8 = satd_mats
                     t = dot(hb_r, dot(d.astype(jnp.float32), hb_c_t))
                     ts = dot(p_r, dot(jnp.abs(t), p_c))
@@ -239,7 +308,7 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
             for c in a_copies(1, g + 1):
                 c.wait()
             for j in range(chunk_t):
-                for c in tile_dmas(1, j):
+                for c in tile_dmas(1, j, g + 1):
                     c.start()
 
 
@@ -253,8 +322,18 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
     stack: [pel^2, Hp, Wp] pad_stack output; anchor_fy/fx: [ntile]
     full-pel window-coordinate anchors, pre-clamped to anchor_bounds;
     src_spans: [ntile, bs_y, span_pad] source spans (block b of a tile
-    at span columns [b*pitch_fp, b*pitch_fp + bs_x))."""
-    ntile = anchor_fy.shape[0]
+    at span columns [b*pitch_fp, b*pitch_fp + bs_x)).
+
+    Frame-batched form (one kernel launch for a whole frame batch):
+    stack [F, pel^2, Hp, Wp], anchor_fy/fx [F, ntile], src_spans
+    [F, ntile, bs_y, span_pad] -> [F, ntile, D*n_stats, tile]."""
+    batched = anchor_fy.ndim == 2
+    if not batched:
+        stack = stack[None]
+        anchor_fy = anchor_fy[None]
+        anchor_fx = anchor_fx[None]
+        src_spans = src_spans[None]
+    nf, ntile = anchor_fy.shape
     (_, _, _, span_pad, _, wy_total, wx_total) = map_geom(
         r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp)
     n_stats = 3 if stats == "sad_satd_luma" else 1
@@ -262,6 +341,12 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
                          or stack.dtype != jnp.uint8):
         raise ValueError("satd map needs u8 data, pitch%8==0, bs_x%8==0")
     d = (2 * r_y + 1) * (2 * r_x + 1)
+    logp = pel.bit_length() - 1
+    min_oy = (-r_y) >> logp
+    n_oy, sl, _, _ = v2_geom(r_y, r_x, bs_y, pel, tile, bs_x, pitch_fp)
+    # the sad path emits (dx, sub-y-parity, oy) rows (the sublane-
+    # stacked kernel's natural order); reordered to dy-major below
+    d_rows = (2 * r_x + 1) * pel * sl if n_stats == 1 else d * n_stats
     # window slots under ~2MB VMEM; modest chunks also bound the unroll
     slot_bytes = pel * pel * wy_total * wx_total * stack.dtype.itemsize
     chunk_t = max(1, min(2, (2 << 20) // max(1, slot_bytes)))
@@ -270,20 +355,26 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
 
     pad_t = (-ntile) % chunk_t
     if pad_t:
-        anchor_fy = jnp.pad(anchor_fy, (0, pad_t), mode="edge")
-        anchor_fx = jnp.pad(anchor_fx, (0, pad_t), mode="edge")
-        src_spans = jnp.pad(src_spans, ((0, pad_t), (0, 0), (0, 0)))
-    n = anchor_fy.shape[0]
+        anchor_fy = jnp.pad(anchor_fy, ((0, 0), (0, pad_t)), mode="edge")
+        anchor_fx = jnp.pad(anchor_fx, ((0, 0), (0, pad_t)), mode="edge")
+        src_spans = jnp.pad(src_spans,
+                            ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+    n_pad = anchor_fy.shape[1]
+    n = nf * n_pad
     grid = n // chunk_t
     # lane-pad the per-tile scalars so the SMEM DMA is tile-aligned
-    afy = jnp.broadcast_to(anchor_fy[:, None], (n, 128))
-    afx = jnp.broadcast_to(anchor_fx[:, None], (n, 128))
+    afy = jnp.broadcast_to(anchor_fy.reshape(n)[:, None], (n, 128))
+    afx = jnp.broadcast_to(anchor_fx.reshape(n)[:, None], (n, 128))
+    src_spans = src_spans.reshape((n,) + src_spans.shape[2:])
+    # frame-major subplane stack; the kernel derives each tile's frame
+    # id (and so its subplane base) from the tile index alone
+    stack = stack.reshape((nf * pel * pel,) + stack.shape[-2:])
 
     pool = jnp.asarray(_pool_matrix(span_pad, bs_x, pitch_fp, tile))
     kernel = functools.partial(
         _sadmap_kernel, r_y=r_y, r_x=r_x, bs_y=bs_y, bs_x=bs_x, pel=pel,
         tile=tile, chunk_t=chunk_t, pitch_fp=pitch_fp, grid_n=grid,
-        stats=stats)
+        stats=stats, n_pad=(n_pad if nf > 1 else 0))
     z = np.int32(0)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # anchor_fy in HBM
@@ -306,7 +397,7 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((chunk_t, d * n_stats, tile),
+        out_specs=pl.BlockSpec((chunk_t, d_rows, tile),
                                lambda g: (g, z, z),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -316,11 +407,55 @@ def sad_map_pallas(stack, anchor_fy, anchor_fx, src_spans, r_y: int,
             pltpu.SemaphoreType.DMA((chunk_t,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((n, d * n_stats, tile),
-                                       jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n, d_rows, tile), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(afy, afx, stack, src_spans, pool, *extra_inputs)
-    return out[:ntile]
+    if n_stats == 1:
+        # (dx, py, oy) rows -> dy-major [D, tile] (static take: XLA
+        # data movement outside the kernel)
+        ncol = 2 * r_x + 1
+        m = out.reshape(n, ncol, pel * sl, tile)
+        idx = np.array([(dy & (pel - 1)) * sl
+                        + ((dy >> logp) - min_oy)
+                        for dy in range(-r_y, r_y + 1)], np.int32)
+        m = m[:, :, idx, :]                     # [n, Dx, Dy, tile]
+        out = m.transpose(0, 2, 1, 3).reshape(n, d, tile)
+    out = out.reshape((nf, n_pad) + out.shape[1:])[:, :ntile]
+    return out if batched else out[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _sad_map_vmappable(r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp, stats):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(stack, afy, afx, spans):
+        return sad_map_pallas(stack, afy, afx, spans, r_y, r_x, bs_y,
+                              bs_x, pel, tile, pitch_fp, stats=stats)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, stack, afy, afx, spans):
+        def bc(x, is_b):
+            return x if is_b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+        out = sad_map_pallas(
+            bc(stack, in_batched[0]), bc(afy, in_batched[1]),
+            bc(afx, in_batched[2]), bc(spans, in_batched[3]),
+            r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp, stats=stats)
+        return out, True
+
+    return f
+
+
+def sad_map(stack, anchor_fy, anchor_fx, src_spans, r_y: int, r_x: int,
+            bs_y: int, bs_x: int, pel: int, tile: int, pitch_fp: int,
+            stats: str = "sad"):
+    """vmap-aware sad_map_pallas: under jax.vmap the frame axis folds
+    into the kernel grid — ONE launch serves the whole batch instead of
+    a lax.map re-entering the kernel per frame."""
+    return _sad_map_vmappable(r_y, r_x, bs_y, bs_x, pel, tile, pitch_fp,
+                              stats)(stack, anchor_fy, anchor_fx,
+                                     src_spans)
 
 
 def sad_map_xla(stack, anchor_cy, anchor_cx, src_blocks, r_y: int,
