@@ -21,9 +21,14 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
+#include <mutex>
 #include <vector>
 
 #include "DCTFFTW.h"
+
+/* normally defined in DCTFFTW.cpp (not compiled here); MVDepan.cpp
+ * guards its fftw plan calls with it */
+std::mutex g_fftw_plans_mutex;
 
 static const float sqrt_2_div_2 = 0.70710678118654752440084436210485f;
 

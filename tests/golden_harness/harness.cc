@@ -151,6 +151,7 @@ int main(int argc, char **argv) {
     bool yuvdeg_mode = !strcmp(mode, "yuvdegrain1");
     bool yuvcomp_mode = !strcmp(mode, "yuvcompensate");
     bool usable_mode = !strcmp(mode, "usable");
+    /* flow-family / depan goldens live in golden_vs (vs_driver.cc) */
     if (strcmp(mode, "analyse") && !degrain_mode && !comp_mode
         && !recalc_mode && !flowinter_mode && !yuv_mode
         && !yuvdeg_mode && !yuvcomp_mode && !usable_mode) {

@@ -8,6 +8,21 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include "VapourSynth4.h"
+
+static inline int vsh_isConstantVideoFormat(const VSVideoInfo *vi) {
+    return vi->height > 0 && vi->width > 0
+        && vi->format.colorFamily != cfUndefined;
+}
+
+#ifdef __cplusplus
+namespace vsh {
+static inline bool isConstantVideoFormat(const VSVideoInfo *vi) {
+    return vsh_isConstantVideoFormat(vi);
+}
+} // namespace vsh
+#endif
+
 #define VSMIN(a, b) ((a) > (b) ? (b) : (a))
 #define VSMAX(a, b) ((a) > (b) ? (a) : (b))
 #define VSH_ALIGNED_MALLOC(pptr, size, alignment) \
