@@ -11,6 +11,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 from mvtools_tpu import analyse, build_super
 from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
 from mvtools_tpu.core.types import ColorFamily, VideoFormat
