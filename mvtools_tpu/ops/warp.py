@@ -24,6 +24,7 @@ import numpy as np
 
 F32 = jnp.float32
 I32 = jnp.int32
+I64 = jnp.int64
 
 MIRROR_TOP = 1
 MIRROR_BOTTOM = 2
@@ -166,10 +167,18 @@ def _mirror_coord(v, size, do_low, do_high):
 
 
 def _edge_blur_lookup(plane_i32, w0_rows, rowleft, mleft, mright, blurmax,
-                      width):
+                      width, right_trigger=None, right_len_off=1):
     """Left/right mirrored edge fill with optional directional blur
     (MVDepan.cpp:1697-1716): blur = mean of `blurlen` pixels ending at the
-    mirrored position.  Vectorized with a per-row cumulative sum."""
+    mirrored position.  Vectorized with a per-row cumulative sum.
+
+    The nearest/bicubic ladders trigger the right mirror at
+    rowleft >= width with blur length rowleft-width+1; the BILINEAR
+    ladder triggers one column earlier (rowleft >= width-1, length
+    rowleft-width+2; MVDepan.cpp:1991-2004) — right_trigger /
+    right_len_off select the convention."""
+    if right_trigger is None:
+        right_trigger = width
     h = plane_i32.shape[0]
     rows = jnp.clip(w0_rows, 0, h - 1)
     lines = plane_i32[rows]                     # [H, W] gathered rows
@@ -195,12 +204,51 @@ def _edge_blur_lookup(plane_i32, w0_rows, rowleft, mleft, mright, blurmax,
         blen_l = jnp.clip(jnp.minimum(blurmax, -rowleft), 1, None)
         a_l = -rowleft - blen_l + 1
         left_val = seg_sum(a_l, -rowleft) // blen_l
-        blen_r = jnp.clip(jnp.minimum(blurmax, rowleft - width + 1), 1, None)
+        blen_r = jnp.clip(
+            jnp.minimum(blurmax, rowleft - width + right_len_off), 1,
+            None)
         a_r = 2 * width - rowleft - 2
         right_val = seg_sum(a_r, a_r + blen_r - 1) // blen_r
     use_left = (rowleft < 0) & mleft
-    use_right = (rowleft >= width) & mright
+    use_right = (rowleft >= right_trigger) & mright
     return use_left, left_val, use_right, right_val
+
+
+def _rot_coords(tr: Transform, h: int, w: int):
+    """The rotation branch's INCREMENTAL source coordinates: per output
+    row, xsrc starts at dxc + dxy*h and accumulates dxx per column in
+    float32 (xsrc += dxx, MVDepan.cpp:1800-1830/:2131-2180/:2523-2581) —
+    sequential f32 rounding, reproduced with a lax.scan so the floors
+    match the C bit-for-bit."""
+    import jax
+    hs = jnp.arange(h, dtype=F32)
+    x0 = (tr.dxc + tr.dxy * hs).astype(F32)
+    y0 = (tr.dyc + tr.dyy * hs).astype(F32)
+
+    def step(carry, _):
+        x, y = carry
+        return ((x + tr.dxx).astype(F32), (y + tr.dyx).astype(F32)), \
+            (x, y)
+
+    _, (xs_cols, ys_cols) = jax.lax.scan(step, (x0, y0), None, length=w)
+    return xs_cols.T, ys_cols.T
+
+
+def _mirror_both(rowleft, hlow, w, h, mleft, mright, mtop, mbottom):
+    """The rotation branch's fallback: mirror each coordinate, then a
+    plain bounds check (MVDepan.cpp:1810-1823)."""
+    hm = hlow
+    if mtop:
+        hm = jnp.where(hm < 0, -hm, hm)
+    if mbottom:
+        hm = jnp.where(hm >= h, 2 * h - hm - 2, hm)
+    rm = rowleft
+    if mleft:
+        rm = jnp.where(rm < 0, -rm, rm)
+    if mright:
+        rm = jnp.where(rm >= w, 2 * w - rm - 2, rm)
+    ok = (rm >= 0) & (rm < w) & (hm >= 0) & (hm < h)
+    return rm, hm, ok
 
 
 def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
@@ -212,13 +260,28 @@ def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
     1 bilinear (:1856-2193), 2 bicubic (:2203-2586).  `border < 0` keeps
     `base` (or the untouched source) outside; >= 0 fills with the constant.
     `blur` smears mirrored left/right edges (blurmax).
+
+    The reference dispatches on the transform at runtime — translation
+    (dxy==dyx==0, dxx==dyy==1), zoom (dxy==dyx==0), rotation (general) —
+    with DIFFERENT coordinate generation, rounding, and edge ladders per
+    branch; all three are computed here and selected by traced masks so
+    a jitted caller keeps the exact reference semantics.
     """
+    import jax
     h, w = plane.shape
     src = plane.astype(I32)
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=F32), jnp.arange(w, dtype=F32),
                           indexing="ij")
-    xsrc = tr.dxc + tr.dxx * xs + tr.dxy * ys
-    ysrc = tr.dyc + tr.dyx * xs + tr.dyy * ys
+    # direct coordinates (the trans/zoom branches): dxy/dyx are exactly 0
+    # there, so the f32 rounding matches the C's dxc + dxx*row per row
+    xsrc_d = (tr.dxc + tr.dxx * xs + tr.dxy * ys).astype(F32)
+    ysrc_d = (tr.dyc + tr.dyx * xs + tr.dyy * ys).astype(F32)
+    xsrc_r, ysrc_r = _rot_coords(tr, h, w)
+
+    is_rot = (tr.dxy != 0.0) | (tr.dyx != 0.0)
+    is_trans = (~is_rot) & (tr.dxx == 1.0) & (tr.dyy == 1.0)
+    xsrc = jnp.where(is_rot, xsrc_r, xsrc_d)
+    ysrc = jnp.where(is_rot, ysrc_r, ysrc_d)
 
     mtop = bool(mirror & MIRROR_TOP)
     mbottom = bool(mirror & MIRROR_BOTTOM)
@@ -232,6 +295,7 @@ def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
         return jnp.clip(v, 0, h - 1)
 
     if subpixel == 0:
+        # ---- trans/zoom: floorf(+0.5), mirrored hlow, blurred mirrors
         rowleft = jnp.floor(xsrc + 0.5).astype(I32)
         hlow = jnp.floor(ysrc + 0.5).astype(I32)
         hlow_m = _mirror_coord(hlow, h, mtop, mbottom)
@@ -240,11 +304,27 @@ def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
         x_in = (rowleft >= 0) & (rowleft < w)
         use_l, lv, use_r, rv = _edge_blur_lookup(
             src, hlow_m, rowleft, mleft, mright, blur, w)
-        val = jnp.where(x_in, nearest, 0)
-        val = jnp.where(use_l, lv, val)
-        val = jnp.where(use_r, rv, val)
-        valid = y_ok & (x_in | use_l | use_r)
-        out = val
+        val_tz = jnp.where(x_in, nearest, 0)
+        val_tz = jnp.where(use_l, lv, val_tz)
+        val_tz = jnp.where(use_r, rv, val_tz)
+        ok_tz = y_ok & (x_in | use_l | use_r)
+
+        # ---- rotation: (int)(xsrc + 0.5f) truncates toward ZERO, then
+        # in-range nearest, else mirror both coords, no blur (:1800-1830)
+        xh = xsrc + 0.5
+        yh = ysrc + 0.5
+        rl_r = (jnp.sign(xh) * jnp.floor(jnp.abs(xh))).astype(I32)
+        hl_r = (jnp.sign(yh) * jnp.floor(jnp.abs(yh))).astype(I32)
+        in1 = (rl_r >= 0) & (rl_r < w) & (hl_r >= 0) & (hl_r < h)
+        near1 = src[clampedy(hl_r), clampedx(rl_r)]
+        rm, hm, ok_m = _mirror_both(rl_r, hl_r, w, h, mleft, mright,
+                                    mtop, mbottom)
+        near_m = src[clampedy(hm), clampedx(rm)]
+        val_rot = jnp.where(in1, near1, jnp.where(ok_m, near_m, 0))
+        ok_rot = in1 | ok_m
+
+        out = jnp.where(is_rot, val_rot, val_tz)
+        valid = jnp.where(is_rot, ok_rot, ok_tz)
     elif subpixel == 1:
         rowleft = jnp.floor(xsrc).astype(I32)
         hlow = jnp.floor(ysrc).astype(I32)
@@ -266,51 +346,100 @@ def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
                      & (hlow_m >= 0) & (hlow_m < h - 1))
         # bottom line falls back to nearest (MVDepan.cpp:2006-2018)
         near_ok = ((hlow_m == h - 1) & (rowleft >= 0) & (rowleft < w))
+        # the bilinear mirror ladder triggers the RIGHT mirror one
+        # column earlier than nearest/bicubic (rowleft >= w-1, blur
+        # length rowleft-w+2; MVDepan.cpp:1991-2004)
         use_l, lv, use_r, rv = _edge_blur_lookup(
-            src, hlow_m, rowleft, mleft, mright, blur, w)
+            src, hlow_m, rowleft, mleft, mright, blur, w,
+            right_trigger=w - 1, right_len_off=2)
         y_ok = (hlow_m >= 0) & (hlow_m < h)
-        val = jnp.where(interp_ok, interp, jnp.where(near_ok, p00, 0))
-        val = jnp.where(~(interp_ok | near_ok) & use_l, lv, val)
-        val = jnp.where(~(interp_ok | near_ok) & use_r, rv, val)
-        valid = y_ok & (interp_ok | near_ok | use_l | use_r)
-        out = val
+        val_tz = jnp.where(interp_ok, interp,
+                           jnp.where(near_ok, p00, 0))
+        val_tz = jnp.where(~(interp_ok | near_ok) & use_l, lv, val_tz)
+        val_tz = jnp.where(~(interp_ok | near_ok) & use_r, rv, val_tz)
+        ok_tz = y_ok & (interp_ok | near_ok | use_l | use_r)
+
+        # ---- rotation branch: raw (unmirrored) coords interpolate, the
+        # fallback is a both-axis mirrored NEAREST (:2131-2180)
+        rot_ok = ((rowleft >= 0) & (rowleft < w - 1)
+                  & (hlow >= 0) & (hlow < h - 1))
+        cyr = clampedy(hlow)
+        cyr1 = clampedy(hlow + 1)
+        q00 = src[cyr, cx]
+        q01 = src[cyr, cx1]
+        q10 = src[cyr1, cx]
+        q11 = src[cyr1, cx1]
+        interp_r = ((32 - iy) * ((32 - ix) * q00 + ix * q01)
+                    + iy * ((32 - ix) * q10 + ix * q11)) >> 10
+        rm, hm, ok_m = _mirror_both(rowleft, hlow, w, h, mleft, mright,
+                                    mtop, mbottom)
+        near_m = src[clampedy(hm), clampedx(rm)]
+        val_rot = jnp.where(rot_ok, interp_r,
+                            jnp.where(ok_m, near_m, 0))
+        ok_rot = rot_ok | ok_m
+
+        out = jnp.where(is_rot, val_rot, val_tz)
+        valid = jnp.where(is_rot, ok_rot, ok_tz)
     elif subpixel == 2:
         rowleft = jnp.floor(xsrc).astype(I32)
         hlow = jnp.floor(ysrc).astype(I32)
-        # 1/256 quantized Catmull-like coefficients scaled by 2048
-        # (MVDepan.cpp:2255-2260); 2-D product /2048, sum (+1024) >> 11
+        # (int)(frac * 256): frac in [0, 1) so C truncation == floor
         sx = jnp.clip(jnp.floor((xsrc - rowleft.astype(F32)) * 256), 0,
                       256).astype(I32)
         sy = jnp.clip(jnp.floor((ysrc - hlow.astype(F32)) * 256), 0,
                       256).astype(I32)
 
         def coefs(i):
-            c0 = -((i * (256 - i) * (256 - i))) // 8192
+            # integer table of MVDepan.cpp:2248-2253; C '/' truncates
+            # toward zero — the numerators below are non-negative, the
+            # negation happens AFTER the division
+            c0 = -((i * (256 - i) * (256 - i)) // 8192)
             c1 = (256 * 256 * 256 - 2 * 256 * i * i + i * i * i) // 8192
             c2 = (i * (256 * 256 + 256 * i - i * i)) // 8192
-            c3 = -(i * i * (256 - i)) // 8192
+            c3 = -((i * i * (256 - i)) // 8192)
             return c0, c1, c2, c3
+
+        def tdiv2048(a):
+            # C truncation toward zero of coef-product / 2048
+            return jnp.sign(a) * (jnp.abs(a) // 2048)
 
         cxs = coefs(sx)
         cys = coefs(sy)
         hlow_m = _mirror_coord(hlow, h, mtop, mbottom)
-        acc = jnp.zeros((h, w), I32)
+
+        # translation blend: per-coefficient (cy*cx)/2048 trunc, pixel
+        # sum (+1024) >> 11, clamp (MVDepan.cpp:2268-2311); zoom and
+        # rotation blends: separable row taps then
+        # (sum cy*ts) >> 22 in int64, no rounding bias (:2404-2415,
+        # :2536-2551) — rotation reads RAW (unmirrored) hlow
+        acc_t = jnp.zeros((h, w), I32)
+        acc_z = jnp.zeros((h, w), I64)
+        acc_r = jnp.zeros((h, w), I64)
         for j in range(4):
-            wy = cys[j]
-            row_sum = jnp.zeros((h, w), I32)
-            cyj = clampedy(hlow_m + (j - 1))
+            cyj_m = clampedy(hlow_m + (j - 1))
+            cyj_r = clampedy(hlow + (j - 1))
+            ts_m = jnp.zeros((h, w), I64)
+            ts_r = jnp.zeros((h, w), I64)
             for i in range(4):
                 cxi = clampedx(rowleft + (i - 1))
-                row_sum = row_sum + cxs[i] * src[cyj, cxi]
-            acc = acc + wy * ((row_sum) // 2048)
-        interp = (acc + 1024) >> 11
-        interp = jnp.clip(interp, 0, pixel_max)
-        interp_ok = ((rowleft >= 1) & (rowleft < w - 2)
-                     & (hlow_m >= 1) & (hlow_m < h - 2))
-        # near-edge rows/cols fall back to bilinear, the outermost line to
-        # nearest (MVDepan.cpp:2334-2366: hlow 0/height-2 lines and
-        # rowleft 0 use bilinear; only hlow height-1 / rowleft row_size-1
-        # copy the source pixel)
+                p_m = src[cyj_m, cxi]
+                acc_t = acc_t + tdiv2048(cys[j] * cxs[i]) * p_m
+                ts_m = ts_m + (cxs[i] * p_m).astype(I64)
+                ts_r = ts_r + (cxs[i] * src[cyj_r, cxi]).astype(I64)
+            acc_z = acc_z + cys[j].astype(I64) * ts_m
+            acc_r = acc_r + cys[j].astype(I64) * ts_r
+        interp_t = jnp.clip((acc_t + 1024) >> 11, 0, pixel_max)
+        interp_z = jnp.clip((acc_z >> 22).astype(I32), 0, pixel_max)
+        interp_r = jnp.clip((acc_r >> 22).astype(I32), 0, pixel_max)
+
+        mid_y = (hlow_m >= 1) & (hlow_m < h - 2)
+        bicubic_x = (rowleft >= 1) & (rowleft < w - 2)
+        interp_ok = mid_y & bicubic_x
+        # middle rows, columns 0 / w-2 / w-1: nearest copy (:2332-2334)
+        near_mid = mid_y & ((rowleft == 0) | (rowleft == w - 2)
+                            | (rowleft == w - 1))
+        # near-edge rows (hlow 0 / h-2): float bilinear for
+        # rowleft in [0, w-2], nearest at w-1 (:2341-2359)
         cy = clampedy(hlow_m)
         cx = clampedx(rowleft)
         cy1 = clampedy(hlow_m + 1)
@@ -320,21 +449,41 @@ def warp_plane(plane: jnp.ndarray, tr: Transform, subpixel: int,
         bl = ((1.0 - fy) * ((1.0 - fx) * src[cy, cx] + fx * src[cy, cx1])
               + fy * ((1.0 - fx) * src[cy1, cx] + fx * src[cy1, cx1]))
         bl = bl.astype(I32)            # C (int) truncation; values >= 0
-        bilin_ok = (~interp_ok & (rowleft >= 0) & (rowleft < w - 1)
-                    & (hlow_m >= 0) & (hlow_m < h - 1))
+        edge_y = (hlow_m == 0) | (hlow_m == h - 2)
+        bl_ok = edge_y & (rowleft >= 0) & (rowleft < w - 1)
         near = src[cy, cx]
-        near_ok = ((rowleft >= 0) & (rowleft < w)
-                   & (hlow_m >= 0) & (hlow_m < h))
+        near_edge = edge_y & (rowleft == w - 1)
+        # bottom line: translation branch copies the nearest pixel
+        # (:2360-2369); the zoom branch averages with the row above
+        # ((p + p_up) / 2, :2470-2473)
+        near_bot_ok = (hlow_m == h - 1) & (rowleft >= 0) & (rowleft < w)
+        near_up = src[clampedy(hlow_m - 1), cx]
+        bot_val = jnp.where(is_trans, near, (near + near_up) // 2)
         use_l, lv, use_r, rv = _edge_blur_lookup(
             src, hlow_m, rowleft, mleft, mright, blur, w)
         y_ok = (hlow_m >= 0) & (hlow_m < h)
-        val = jnp.where(interp_ok, interp,
-                        jnp.where(bilin_ok, bl,
-                                  jnp.where(near_ok, near, 0)))
-        val = jnp.where(~(interp_ok | near_ok) & use_l, lv, val)
-        val = jnp.where(~(interp_ok | near_ok) & use_r, rv, val)
-        valid = y_ok & (interp_ok | near_ok | use_l | use_r)
-        out = val
+        interp_tz = jnp.where(is_trans, interp_t, interp_z)
+        val_tz = jnp.where(interp_ok, interp_tz, 0)
+        val_tz = jnp.where(bl_ok, bl, val_tz)
+        val_tz = jnp.where(near_mid | near_edge, near, val_tz)
+        val_tz = jnp.where(near_bot_ok, bot_val, val_tz)
+        val_tz = jnp.where(use_l & y_ok, lv, val_tz)
+        val_tz = jnp.where(use_r & y_ok, rv, val_tz)
+        ok_tz = y_ok & (interp_ok | bl_ok | near_mid | near_edge
+                        | near_bot_ok | use_l | use_r)
+
+        # rotation: raw-coord bicubic region, else mirrored nearest
+        rot_ok = ((rowleft >= 1) & (rowleft < w - 2)
+                  & (hlow >= 1) & (hlow < h - 2))
+        rm, hm, ok_m = _mirror_both(rowleft, hlow, w, h, mleft, mright,
+                                    mtop, mbottom)
+        near_m = src[clampedy(hm), clampedx(rm)]
+        val_rot = jnp.where(rot_ok, interp_r,
+                            jnp.where(ok_m, near_m, 0))
+        ok_rot = rot_ok | ok_m
+
+        out = jnp.where(is_rot, val_rot, val_tz)
+        valid = jnp.where(is_rot, ok_rot, ok_tz)
     else:
         raise ValueError(f"subpixel {subpixel}")
 

@@ -37,6 +37,8 @@ void fftwf_destroy_plan(fftwf_plan p) { delete p; }
 void fftwf_execute_dft_r2c(const fftwf_plan p, float *in,
                            fftwf_complex *out) {
     const int n0 = p->n0, n1 = p->n1, nc = n1 / 2 + 1;
+    // fftw in-place transforms use REAL rows padded to 2*nc floats
+    const int rpitch = (in == (float *)out) ? 2 * nc : n1;
     // rows: real -> half-complex [n0][nc]
     std::vector<double> rr((size_t)n0 * nc), ri((size_t)n0 * nc);
     for (int y = 0; y < n0; y++)
@@ -44,8 +46,8 @@ void fftwf_execute_dft_r2c(const fftwf_plan p, float *in,
             double sr = 0.0, si = 0.0;
             for (int x = 0; x < n1; x++) {
                 double a = 2.0 * M_PI * k * x / n1;
-                sr += in[(size_t)y * n1 + x] * std::cos(a);
-                si -= in[(size_t)y * n1 + x] * std::sin(a);
+                sr += in[(size_t)y * rpitch + x] * std::cos(a);
+                si -= in[(size_t)y * rpitch + x] * std::sin(a);
             }
             rr[(size_t)y * nc + k] = sr;
             ri[(size_t)y * nc + k] = si;
@@ -70,6 +72,7 @@ void fftwf_execute_dft_r2c(const fftwf_plan p, float *in,
 void fftwf_execute_dft_c2r(const fftwf_plan p, fftwf_complex *in,
                            float *out) {
     const int n0 = p->n0, n1 = p->n1, nc = n1 / 2 + 1;
+    const int rpitch = (out == (float *)in) ? 2 * nc : n1;
     // columns first: inverse complex DFT over n0 (unnormalised)
     std::vector<double> cr((size_t)n0 * nc), ci((size_t)n0 * nc);
     for (int y = 0; y < n0; y++)
@@ -101,7 +104,7 @@ void fftwf_execute_dft_c2r(const fftwf_plan p, fftwf_complex *in,
                 else
                     acc += 2.0 * term;
             }
-            out[(size_t)y * n1 + x] = (float)acc;
+            out[(size_t)y * rpitch + x] = (float)acc;
         }
 }
 

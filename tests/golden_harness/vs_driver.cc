@@ -316,6 +316,158 @@ int main(int argc, char **argv) {
         return 0;
     }
 
+    if (!strcmp(mode, "depananalyse")) {
+        /* <zoom> <rot> <pixaspect> <error> <wrong> <zerow> — prints
+         * "n dx dy zoom rot" for every frame */
+        int zoom = atoi(argv[a++]);
+        int rot = atoi(argv[a++]);
+        double pixaspect = atof(argv[a++]);
+        double error = atof(argv[a++]);
+        double wrong = atof(argv[a++]);
+        double zerow = atof(argv[a++]);
+
+        VSMap *args = vsapi->createMap();
+        vsapi->mapSetNode(args, "clip", clip, maReplace);
+        vsapi->mapSetNode(args, "vectors", mvbw, maReplace);
+        vsapi->mapSetInt(args, "zoom", zoom, maReplace);
+        vsapi->mapSetInt(args, "rot", rot, maReplace);
+        vsapi->mapSetFloat(args, "pixaspect", pixaspect, maReplace);
+        vsapi->mapSetFloat(args, "error", error, maReplace);
+        vsapi->mapSetFloat(args, "wrong", wrong, maReplace);
+        vsapi->mapSetFloat(args, "zerow", zerow, maReplace);
+        VSMap *ret = vsmini_invoke("com.nodame.mvtools", "DepanAnalyse",
+                                   args);
+        VSNode *out_node = vsapi->mapGetNode(ret, "clip", 0, NULL);
+        for (int n = 0; n < T; n++) {
+            const VSFrame *f = vsapi->getFrame(n, out_node, NULL, 0);
+            const VSMap *props = vsapi->getFramePropertiesRO(f);
+            printf("depananalyse %d %.9g %.9g %.9g %.9g\n", n,
+                   vsapi->mapGetFloat(props, "Depan_dx", 0, NULL),
+                   vsapi->mapGetFloat(props, "Depan_dy", 0, NULL),
+                   vsapi->mapGetFloat(props, "Depan_zoom", 0, NULL),
+                   vsapi->mapGetFloat(props, "Depan_rot", 0, NULL));
+        }
+        return 0;
+    }
+
+    if (!strcmp(mode, "depanestimate")) {
+        /* <trust> <winx> <winy> <dxmax> <dymax> <stab> — prints
+         * "n dx dy zoom" for every frame */
+        double trust = atof(argv[a++]);
+        int winx = atoi(argv[a++]);
+        int winy = atoi(argv[a++]);
+        int dxmax = atoi(argv[a++]);
+        int dymax = atoi(argv[a++]);
+        double stab = atof(argv[a++]);
+
+        VSMap *args = vsapi->createMap();
+        vsapi->mapSetNode(args, "clip", clip, maReplace);
+        vsapi->mapSetFloat(args, "trust", trust, maReplace);
+        if (winx > 0)
+            vsapi->mapSetInt(args, "winx", winx, maReplace);
+        if (winy > 0)
+            vsapi->mapSetInt(args, "winy", winy, maReplace);
+        if (dxmax >= 0)
+            vsapi->mapSetInt(args, "dxmax", dxmax, maReplace);
+        if (dymax >= 0)
+            vsapi->mapSetInt(args, "dymax", dymax, maReplace);
+        vsapi->mapSetFloat(args, "stab", stab, maReplace);
+        VSMap *ret = vsmini_invoke("com.nodame.mvtools",
+                                   "DepanEstimate", args);
+        VSNode *out_node = vsapi->mapGetNode(ret, "clip", 0, NULL);
+        for (int n = 0; n < T; n++) {
+            const VSFrame *f = vsapi->getFrame(n, out_node, NULL, 0);
+            const VSMap *props = vsapi->getFramePropertiesRO(f);
+            printf("depanestimate %d %.9g %.9g %.9g\n", n,
+                   vsapi->mapGetFloat(props, "Depan_dx", 0, NULL),
+                   vsapi->mapGetFloat(props, "Depan_dy", 0, NULL),
+                   vsapi->mapGetFloat(props, "Depan_zoom", 0, NULL));
+        }
+        return 0;
+    }
+
+    bool dcomp = !strcmp(mode, "depancompensate");
+    bool dstab = !strcmp(mode, "depanstabilise");
+    if (dcomp || dstab) {
+        /* depancompensate <offset> <subpixel> <pixaspect> <mirror>
+         *   <blur> <n> <dx dy zoom rot>*T <out.raw>
+         * depanstabilise <method> <cutoff> <damping> <initzoom>
+         *   <addzoom> <prev> <next> <mirror> <blur> <dxmax> <dymax>
+         *   <zoommax> <rotmax> <subpixel> <pixaspect> <n>
+         *   <dx dy zoom rot>*T <out.raw> */
+        VSMap *args = vsapi->createMap();
+        vsapi->mapSetNode(args, "clip", clip, maReplace);
+        int n;
+        if (dcomp) {
+            vsapi->mapSetFloat(args, "offset", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetInt(args, "subpixel", atoi(argv[a++]),
+                             maReplace);
+            vsapi->mapSetFloat(args, "pixaspect", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetInt(args, "mirror", atoi(argv[a++]),
+                             maReplace);
+            vsapi->mapSetInt(args, "blur", atoi(argv[a++]), maReplace);
+            n = atoi(argv[a++]);
+        } else {
+            vsapi->mapSetInt(args, "method", atoi(argv[a++]),
+                             maReplace);
+            vsapi->mapSetFloat(args, "cutoff", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(args, "damping", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(args, "initzoom", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetInt(args, "addzoom", atoi(argv[a++]),
+                             maReplace);
+            vsapi->mapSetInt(args, "prev", atoi(argv[a++]), maReplace);
+            vsapi->mapSetInt(args, "next", atoi(argv[a++]), maReplace);
+            vsapi->mapSetInt(args, "mirror", atoi(argv[a++]),
+                             maReplace);
+            vsapi->mapSetInt(args, "blur", atoi(argv[a++]), maReplace);
+            vsapi->mapSetFloat(args, "dxmax", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(args, "dymax", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(args, "zoommax", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(args, "rotmax", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetInt(args, "subpixel", atoi(argv[a++]),
+                             maReplace);
+            vsapi->mapSetFloat(args, "pixaspect", atof(argv[a++]),
+                               maReplace);
+            n = atoi(argv[a++]);
+        }
+        /* data clip: the Depan_* motion props per frame */
+        std::vector<VSFrame *> data_frames;
+        for (int i = 0; i < T; i++) {
+            VSFrame *f = vsmini_new_frame(gray8, 4, 4);
+            VSMap *props = vsmini_frame_props(f);
+            vsapi->mapSetFloat(props, "Depan_dx", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(props, "Depan_dy", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(props, "Depan_zoom", atof(argv[a++]),
+                               maReplace);
+            vsapi->mapSetFloat(props, "Depan_rot", atof(argv[a++]),
+                               maReplace);
+            data_frames.push_back(f);
+        }
+        vsapi->mapSetNode(args, "data",
+                          vsmini_buffer_node(vi, data_frames, "data"),
+                          maReplace);
+        const char *out_path = argv[a++];
+        VSMap *ret = vsmini_invoke(
+            "com.nodame.mvtools",
+            dcomp ? "DepanCompensate" : "DepanStabilise", args);
+        VSNode *out_node = vsapi->mapGetNode(ret, "clip", 0, NULL);
+        const VSFrame *f = vsapi->getFrame(n, out_node, NULL, 0);
+        dump_frame(f, out_path);
+        printf("%s n=%d\n", mode, n);
+        return 0;
+    }
+
     if (!strcmp(mode, "flowblur")) {
         double blur = atof(argv[a++]);
         int prec = atoi(argv[a++]);
