@@ -68,18 +68,20 @@ struct SuperGeom {
 };
 
 /* Build the super frame exactly like MVSuper's getframe
- * (MVSuper.c:60-105): FillPlane level 0, Reduce, Pad, Refine. */
+ * (MVSuper.c:60-105): FillPlane level 0, Reduce, Pad, Refine.
+ * Pitches are in BYTES (8- or 16-bit samples). */
 static std::vector<uint8_t> build_super(const uint8_t *src,
                                         const SuperGeom &g, int sharp,
-                                        int rfilter) {
-    std::vector<uint8_t> buf((size_t)g.pitch * g.super_h, 0);
+                                        int rfilter, int bits = 8) {
+    int bytes = bits > 8 ? 2 : 1;
+    std::vector<uint8_t> buf((size_t)g.pitch * bytes * g.super_h, 0);
     MVGroupOfFrames gof;
     mvgofInit(&gof, g.levels, g.w, g.h, g.pel, g.hpad, g.vpad, YPLANE,
-              /*opt=*/0, g.rx, g.ry, /*bitsPerSample=*/8);
+              /*opt=*/0, g.rx, g.ry, bits);
     uint8_t *pDst[3] = { buf.data(), nullptr, nullptr };
-    int pitch[3] = { g.pitch, 0, 0 };
+    int pitch[3] = { g.pitch * bytes, 0, 0 };
     mvgofUpdate(&gof, pDst, pitch);
-    mvfFillPlane(gof.frames[0], src, g.w, 0);
+    mvfFillPlane(gof.frames[0], src, g.w * bytes, 0);
     mvgofReduce(&gof, YPLANE, rfilter);
     mvgofPad(&gof, YPLANE);
     mvgofRefine(&gof, YPLANE, sharp);
@@ -178,28 +180,30 @@ int main(int argc, char **argv) {
     int field_shift = 0;   // analyse mode: optional trailing arg
     int dctmode = 0;       // analyse mode: optional trailing arg
     int divide = 0;        // analyse mode: optional trailing arg
+    int bits = 8;          // analyse mode: optional trailing arg
 
     auto run_search = [&](std::vector<uint8_t> &sup_src,
                           std::vector<uint8_t> &sup_ref) {
+        int bytes = bits > 8 ? 2 : 1;
         GroupOfPlanes gop;
         gopInit(&gop, blkx, blky, levels, pel, /*nMotionFlags=*/0,
                 /*nCPUFlags=*/0, ovx, ovy, nblkx, nblky, g.rx, g.ry,
-                divide, /*bitsPerSample=*/8);
+                divide, bits);
         MVGroupOfFrames srcGOF, refGOF;
         mvgofInit(&srcGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
-                  g.rx, g.ry, 8);
+                  g.rx, g.ry, bits);
         mvgofInit(&refGOF, levels, w, h, pel, hpad, vpad, YPLANE, 0,
-                  g.rx, g.ry, 8);
+                  g.rx, g.ry, bits);
         uint8_t *pSrc[3] = { sup_src.data(), nullptr, nullptr };
         uint8_t *pRef[3] = { sup_ref.data(), nullptr, nullptr };
-        int pitch[3] = { g.pitch, 0, 0 };
+        int pitch[3] = { g.pitch * bytes, 0, 0 };
         mvgofUpdate(&srcGOF, pSrc, pitch);
         mvgofUpdate(&refGOF, pRef, pitch);
         MVArraySizeType size = gopGetArraySize(&gop);
         std::vector<uint8_t> out(size, 0);
         DCTFFTW dct;             // scalar REDFT10 stub (dct_stub.cc)
         if (dctmode)
-            dctInit(&dct, blkx, blky, 8, 0);
+            dctInit(&dct, blkx, blky, bits, 0);
         gopSearchMVs(&gop, &srcGOF, &refGOF, (SearchType)searchtype,
                      searchparam, pelsearch, lambda, lsad, pnew, plevel,
                      global, out.data(), field_shift,
@@ -569,12 +573,14 @@ int main(int argc, char **argv) {
         field_shift = (a < argc) ? atoi(argv[a++]) : 0;
         dctmode = (a < argc) ? atoi(argv[a++]) : 0;
         divide = (a < argc) ? atoi(argv[a++]) : 0;
-        auto src = read_file(src_path, (size_t)w * h);
-        auto ref = read_file(ref_path, (size_t)w * h);
+        bits = (a < argc) ? atoi(argv[a++]) : 8;
+        int bytes = bits > 8 ? 2 : 1;
+        auto src = read_file(src_path, (size_t)w * h * bytes);
+        auto ref = read_file(ref_path, (size_t)w * h * bytes);
         struct timespec t0, t1;
         clock_gettime(CLOCK_MONOTONIC, &t0);
-        auto sup_src = build_super(src.data(), g, sharp, rfilter);
-        auto sup_ref = build_super(ref.data(), g, sharp, rfilter);
+        auto sup_src = build_super(src.data(), g, sharp, rfilter, bits);
+        auto sup_ref = build_super(ref.data(), g, sharp, rfilter, bits);
         clock_gettime(CLOCK_MONOTONIC, &t1);
         double super_ms = ((t1.tv_sec - t0.tv_sec) * 1e3
                            + (t1.tv_nsec - t0.tv_nsec) / 1e6) / 2;

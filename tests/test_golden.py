@@ -48,7 +48,7 @@ def _frames(rng, w, h):
 
 
 def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec,
-                 field_shift=0, dctmode=0, divide=0):
+                 field_shift=0, dctmode=0, divide=0, bits=8):
     h, w = src.shape
     sp = str(tmp_path / "src.raw")
     rp = str(tmp_path / "ref.raw")
@@ -69,7 +69,7 @@ def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec,
             str(aspec.badsad), str(aspec.badrange),
             str(int(aspec.meander)), str(int(aspec.trymany)),
             str(int(aspec.search_coarse)), sp, rp, op,
-            "0", str(field_shift), str(dctmode), str(divide)]
+            "0", str(field_shift), str(dctmode), str(divide), str(bits)]
     r = subprocess.run(args, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
     with open(op, "rb") as f:
@@ -213,6 +213,44 @@ def test_golden_satd_modes(harness, tmp_path, dct):
                                 search=SearchType.HEX2, searchparam=2,
                                 truemotion=True, chroma=False, dct=dct),
                   seed=40 + dct)
+
+
+@pytest.mark.parametrize("bits", [10, 16])
+def test_golden_hibit_analyse(harness, tmp_path, bits):
+    """8-16-bit sources (MVSuper.c:204-209): hi-bit SAD scaling,
+    verybigSAD, and blob contents byte-exact against the C at 10 and
+    16 bits."""
+    rng = np.random.default_rng(60 + bits)
+    w, h = 192, 128
+    peak = (1 << bits) - 1
+    base = rng.integers(0, peak + 1, (h, w)).astype(np.float32)
+    from numpy.lib.stride_tricks import sliding_window_view
+    k = np.ones((3, 3), np.float32) / 9
+    pad = np.pad(base, 1, mode="edge")
+    base = np.einsum("ijkl,kl->ij", sliding_window_view(pad, (3, 3)), k)
+    noise = rng.normal(0, peak / 64.0, (h, w))
+    src = np.clip(base + noise, 0, peak).astype("<u2")
+    ref = np.clip(np.roll(base, (3, -5), (0, 1)) + noise, 0,
+                  peak).astype("<u2")
+
+    fmt = VideoFormat(w, h, bits, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
+    aspec = AnalyseConfig(blksize=16, levels=0, search=SearchType.HEX2,
+                          searchparam=2, truemotion=True,
+                          chroma=False).validate(sspec)
+    blob = _golden_blob(harness, tmp_path, src, ref, sspec, aspec,
+                        bits=bits)
+    s_src = mvt.build_super([jnp.asarray(src.astype(np.int32))], sspec)
+    s_ref = mvt.build_super([jnp.asarray(ref.astype(np.int32))], sspec)
+    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
+    want = decode_mv_field(blob, aspec.meta)
+    for lv in range(len(mv.levels)):
+        for key in ("x", "y", "sad"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mv.levels[lv], key)),
+                np.asarray(getattr(want.levels[lv], key)),
+                err_msg=f"level {lv} {key}")
+    assert encode_mv_field(mv) == blob
 
 
 @pytest.mark.parametrize("divide", [1, 2])

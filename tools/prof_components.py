@@ -66,31 +66,42 @@ def sa_step(winw):
 
 
 def sa2_step(winw):
-    sups = jax.lax.map(lambda f: build_super([f], sspec), winw)
-
-    def one(i):
-        mv1 = analyse(pick(sups, i+1), pick(sups, i+2), aspec_b,
-                      engine="lockstep")
-        mv2 = analyse(pick(sups, i+1), pick(sups, i), aspec_f,
-                      engine="lockstep")
-        return mv1.finest.sad.sum() + mv2.finest.sad.sum()
-    return jax.lax.map(one, jnp.arange(B))
+    """super + both analyses per frame, the batched (vmapped) engine —
+    the bench pipeline minus degrain."""
+    from mvtools_tpu import analyse_batch
+    tm = jax.tree_util.tree_map
+    sups = jax.vmap(lambda f: build_super([f], sspec))(winw)
+    src_idx, ref_idx = [], []
+    for i in range(B):
+        src_idx += [i + 1, i + 1]
+        ref_idx += [i + 2, i]
+    mvb = analyse_batch(tm(lambda a: a[np.asarray(src_idx)], sups),
+                        tm(lambda a: a[np.asarray(ref_idx)], sups),
+                        aspec_b)
+    return mvb.levels[0].sad.sum()
 
 
 def full_step(winw):
-    """bench.py's pipeline shape: super + 2 analyse + degrain1."""
-    sups = jax.lax.map(lambda f: build_super([f], sspec), winw)
+    """bench.py's vmapped pipeline shape: super + 2 analyse + degrain1."""
+    from mvtools_tpu import analyse_batch
+    tm = jax.tree_util.tree_map
+    sups = jax.vmap(lambda f: build_super([f], sspec))(winw)
+    src_idx, ref_idx = [], []
+    for i in range(B):
+        src_idx += [i + 1, i + 1]
+        ref_idx += [i + 2, i]
+    src_idx, ref_idx = np.asarray(src_idx), np.asarray(ref_idx)
+    mvb = analyse_batch(tm(lambda a: a[src_idx], sups),
+                        tm(lambda a: a[ref_idx], sups), aspec_b)
+    mv_f = tm(lambda a: a.reshape((B, 2) + a.shape[1:]), mvb)
+    sup_f = tm(lambda a: a[ref_idx].reshape((B, 2) + a.shape[1:]), sups)
 
-    def one(i):
-        c = i + 1
-        sup_c = pick(sups, c)
-        sup_n = pick(sups, c + 1)
-        sup_p = pick(sups, c - 1)
-        mvs = [analyse(sup_c, sup_n, aspec_b, engine="lockstep"),
-               analyse(sup_c, sup_p, aspec_f, engine="lockstep")]
-        return degrain([winw[c]], [sup_n, sup_p], mvs, aspec_b.meta,
-                       dcfg)[0]
-    return jax.lax.map(one, jnp.arange(B))
+    def one(frame, mvs_b, sups_b):
+        mvs = [tm(lambda a: a[j], mvs_b) for j in range(2)]
+        sups_r = [tm(lambda a: a[j], sups_b) for j in range(2)]
+        return degrain([frame], sups_r, mvs, aspec_b.meta, dcfg)[0]
+
+    return jax.vmap(one)(winw[1:1 + B], mv_f, sup_f)
 
 
 print(f"super: {timed(super_step, B, 100):.2f} ms/frame", flush=True)
