@@ -256,6 +256,13 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
             # the dy-major map order (static take, outside the kernel).
             n_oy, sl, rows_v2, _ = v2_geom(r_y, r_x, bs_y, pel, tile,
                                            bs_x, pitch_fp)
+            # i16 slide: |diff| <= 255 and column sums <= bs_y*255 =
+            # 4080 fit int16, and i16 vregs pack twice the lanes of
+            # i32/f32 — halves the per-y VPU op count (8-bit sources
+            # only; hi-bit sums would overflow)
+            i16 = (os.environ.get("MVT_MAP_I16", "1") == "1"
+                   and bs_y * 255 < (1 << 15))
+            acc_t = jnp.int16 if i16 else I32
             pieces = []
             for dx in range(-r_x, r_x + 1):
                 ox = (dx >> logp) - min_ox
@@ -264,11 +271,14 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
                     sub = px | (py << logp)
                     c = jax.lax.slice(planes[sub], (0, ox),
                                       (rows_v2, ox + span_pad))
-                    acc = jnp.zeros((sl, span_pad), I32)
+                    if i16:
+                        c = c.astype(jnp.int16)
+                    src_c = src.astype(acc_t)
+                    acc = jnp.zeros((sl, span_pad), acc_t)
                     for y in range(bs_y):
                         wnd = jax.lax.slice(c, (y, 0),
                                             (y + sl, span_pad))
-                        srow = jax.lax.slice(src, (y, 0),
+                        srow = jax.lax.slice(src_c, (y, 0),
                                              (y + 1, span_pad))
                         acc = acc + jnp.abs(wnd - srow)
                     # 8-bit data: block sums < 2^24, exact in the f32

@@ -126,6 +126,24 @@ def test_degrain_clip_mesh_invariance_realistic():
         np.testing.assert_array_equal(got, ref, err_msg=f"mesh {n}")
 
 
+@pytest.mark.slow
+def test_degrain_clip_mesh_invariance_realistic_lockstep():
+    """Lockstep (production) engine at >=512x512, blk16, pel2,
+    overlap 8, map search: bit-identical between the unsharded run and
+    a 4-device frame mesh.  Two mesh shapes only — each is a full
+    whole-plane-engine CPU compile."""
+    rng = np.random.default_rng(2)
+    T, H, W = 4, 512, 512
+    clip = _noisy_clip(rng, T, H, W, motion=True)
+    fmt = VideoFormat(W, H, 8, ColorFamily.GRAY)
+    scfg = SuperConfig(pel=2, chroma=False, levels=3)
+    acfg = AnalyseConfig(blksize=16, chroma=False, levels=3, overlap=8)
+    dcfg = DegrainConfig(thsad=400)
+    ref = _run_clip(clip, fmt, scfg, acfg, dcfg, 1, "lockstep", 1)
+    got = _run_clip(clip, fmt, scfg, acfg, dcfg, 1, "lockstep", 4)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_degrain_clip_edge_uses_default_field_semantics():
     """Frame 0 must treat its missing backward neighbours as invalid
     (reference default-field path), not wrap to the clip tail."""
