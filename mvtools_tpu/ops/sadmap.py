@@ -259,8 +259,11 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
             # i16 slide: |diff| <= 255 and column sums <= bs_y*255 =
             # 4080 fit int16, and i16 vregs pack twice the lanes of
             # i32/f32 — halves the per-y VPU op count (8-bit sources
-            # only; hi-bit sums would overflow)
-            i16 = (os.environ.get("MVT_MAP_I16", "1") == "1"
+            # only; hi-bit sums would overflow).  DEFAULT OFF: this
+            # Mosaic build legalizes neither math.absi nor arith.maxsi
+            # on packed <8x128x2xi16> vregs (BENCH_r03 compile failure),
+            # so the i16 path cannot express |diff| on hardware today.
+            i16 = (os.environ.get("MVT_MAP_I16", "0") == "1"
                    and bs_y * 255 < (1 << 15))
             acc_t = jnp.int16 if i16 else I32
             pieces = []
@@ -280,7 +283,12 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
                                             (y + sl, span_pad))
                         srow = jax.lax.slice(src_c, (y, 0),
                                              (y + 1, span_pad))
-                        acc = acc + jnp.abs(wnd - srow)
+                        # |wnd - srow| spelled as max-min: Mosaic has no
+                        # legalization for math.absi on packed i16 vregs
+                        # (BENCH_r03 compile failure), max/min/sub lower
+                        # fine and both operands are non-negative pixels
+                        acc = acc + (jnp.maximum(wnd, srow)
+                                     - jnp.minimum(wnd, srow))
                     # 8-bit data: block sums < 2^24, exact in the f32
                     # pooling matmul
                     pieces.append(dot(acc.astype(jnp.float32),
