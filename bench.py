@@ -411,4 +411,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # a FRESH remote TPU compile often fails at its first execution
+        # (INVALID_ARGUMENT) but lands in the persistent cache; a new
+        # process then runs clean (CLAUDE.md).  The driver invokes this
+        # script exactly once, so retry by re-exec'ing ourselves.
+        import sys
+        import traceback
+        attempts = int(os.environ.get("MVT_BENCH_ATTEMPT", "0"))
+        if attempts >= 2:
+            raise
+        traceback.print_exc()
+        print(f"# bench attempt {attempts} failed; re-exec retry",
+              flush=True)
+        os.environ["MVT_BENCH_ATTEMPT"] = str(attempts + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -2048,13 +2048,17 @@ def analyse_batch(src_supers: Super, ref_supers: Super,
     nj = jax.tree_util.tree_leaves(src_supers)[0].shape[0]
 
     if not batch_supported(spec, src_supers.spec):
-        def one(args):
-            ss, rs = args
-            return analyse(ss, rs, spec, field_shift, engine="lockstep",
-                           lockstep_iters=lockstep_iters)
-        return jax.lax.map(one, (src_supers, ref_supers))
+        fs_all = jnp.broadcast_to(_i32(field_shift), (nj,))
 
-    field_shift = _i32(field_shift)
+        def one(args):
+            ss, rs, fs = args
+            return analyse(ss, rs, spec, fs, engine="lockstep",
+                           lockstep_iters=lockstep_iters)
+        return jax.lax.map(one, (src_supers, ref_supers, fs_all))
+
+    # field_shift: scalar (shared) or [J] (per-job, e.g. alternating
+    # odd/even deltas of an interlaced MDegrainN graph)
+    field_shift = jnp.broadcast_to(_i32(field_shift), (nj,))
     mlc = jnp.zeros((nj,), I32)
     gmx = jnp.zeros((nj,), I32)
     gmy = jnp.zeros((nj,), I32)
@@ -2099,17 +2103,17 @@ def analyse_batch(src_supers: Super, ref_supers: Super,
                     (m.blk_size_x, m.blk_size_y),
                     (m.overlap_x, m.overlap_y), ctx0.log_pel))(vectors)
 
-        fs_cur = jnp.where(finest, field_shift, 0).astype(I32)
+        fs_cur = jnp.where(finest, field_shift, 0).astype(I32)  # [J]
 
-        def search_one(src_planes, ref_stacks, vin, gx, gy, mlc_j):
+        def search_one(src_planes, ref_stacks, vin, gx, gy, mlc_j, fs_j):
             ctx = ctx0._replace(src_planes=src_planes,
                                 ref_stacks=ref_stacks)
             return search_level_lockstep(
-                ctx, spec, level_params, vin, (gx, gy), fs_cur, mlc_j,
+                ctx, spec, level_params, vin, (gx, gy), fs_j, mlc_j,
                 iters=lockstep_iters, rescue_mode="defer")
 
         (vx, vy, vs), mlc, resc = jax.vmap(search_one)(
-            src_planes_b, ref_stacks_b, vectors_in, gmx, gmy, mlc)
+            src_planes_b, ref_stacks_b, vectors_in, gmx, gmy, mlc, fs_cur)
 
         idx = jnp.arange(nblk, dtype=I32)
         bad_any = jnp.any((idx[None, :] > 1)
@@ -2117,17 +2121,17 @@ def analyse_batch(src_supers: Super, ref_supers: Super,
 
         def apply_all(ops):
             def one(args):
-                vin_j, gx_j, gy_j, mlc_j, resc_j, sp_j, rs_j = args
+                vin_j, gx_j, gy_j, mlc_j, resc_j, sp_j, rs_j, fs_j = args
                 ctx = ctx0._replace(src_planes=sp_j, ref_stacks=rs_j)
                 (bx, by, bs_), _ = search_level_lockstep(
                     ctx, spec, level_params, vin_j, (gx_j, gy_j),
-                    fs_cur, mlc_j, iters=lockstep_iters,
+                    fs_j, mlc_j, iters=lockstep_iters,
                     rescue_mode="apply", resc_state=resc_j)
                 return bx, by, bs_
             return jax.lax.map(one, ops)
 
         ops = (vectors_in, gmx, gmy, mlc, resc, src_planes_b,
-               ref_stacks_b)
+               ref_stacks_b, fs_cur)
         vectors = jax.lax.cond(
             bad_any, apply_all,
             lambda o: (o[4]["bx"], o[4]["by"], o[4]["bsad"]), ops)

@@ -18,7 +18,7 @@ from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
 from mvtools_tpu.core.types import ColorFamily, VideoFormat
 from mvtools_tpu.degrain import DegrainConfig, degrain
 
-w, h, B, iters = 1920, 1080, 8, 3
+w, h, B, iters = 1920, 1080, int(os.environ.get("MVT_PROF_B", 8)), 3
 fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
 sspec = SuperConfig(pel=2, levels=3, chroma=False).validate(fmt)
 acfg = AnalyseConfig(blksize=16, levels=3, truemotion=True, chroma=False)
@@ -39,14 +39,21 @@ def pick(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+def _materialize(out):
+    # block_until_ready is NOT sufficient on the axon runtime: remote
+    # executions resolve lazily and a pytree of scalars can "complete"
+    # without the work having run — a host-side read forces it
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
 def timed(step, nframes, seed0, extra=0):
     stepj = jax.jit(step)
     clips = [mkclip(nframes + extra, seed0 + i) for i in range(iters + 1)]
-    out = jax.block_until_ready(stepj(clips[-1]))
+    _materialize(stepj(clips[-1]))
     t0 = time.perf_counter()
     for c in clips[:iters]:
-        out = stepj(c)
-    jax.block_until_ready(out)
+        _materialize(stepj(c))
     return (time.perf_counter() - t0) / (nframes * iters) * 1e3
 
 
@@ -104,11 +111,43 @@ def full_step(winw):
     return jax.vmap(one)(winw[1:1 + B], mv_f, sup_f)
 
 
-print(f"super: {timed(super_step, B, 100):.2f} ms/frame", flush=True)
-print(f"super+1analyse: {timed(sa_step, B, 200, extra=1):.2f} ms/frame",
-      flush=True)
-sa2 = timed(sa2_step, B, 300, extra=2)
-print(f"super+2analyse: {sa2:.2f} ms/frame", flush=True)
-full = timed(full_step, B, 400, extra=2)
-print(f"super+2analyse+degrain1: {full:.2f} ms/frame "
-      f"(degrain ~{full - sa2:.2f})", flush=True)
+def vsuper_step(winw):
+    """bench shape: vmapped super over the window."""
+    sups = jax.vmap(lambda f: build_super([f], sspec))(winw)
+    return jax.tree_util.tree_map(lambda a: a.sum(), sups)
+
+
+def sa1_step(winw):
+    """vmapped super + ONE batched analyse per frame."""
+    from mvtools_tpu import analyse_batch
+    tm = jax.tree_util.tree_map
+    sups = jax.vmap(lambda f: build_super([f], sspec))(winw)
+    idx = np.arange(B)
+    mvb = analyse_batch(tm(lambda a: a[idx], sups),
+                        tm(lambda a: a[idx + 1], sups), aspec_b)
+    return mvb.levels[0].sad.sum()
+
+
+SECTIONS = [
+    ("super (lax.map)", super_step, B, 100, 0),
+    ("super (vmap, bench shape)", vsuper_step, B, 150, 0),
+    ("super+1analyse (lax.map engine)", sa_step, B, 200, 1),
+    ("super+1analyse_batch", sa1_step, B, 250, 1),
+    ("super+2analyse_batch", sa2_step, B, 300, 2),
+    ("full bench pipeline", full_step, B, 400, 2),
+]
+
+only = os.environ.get("MVT_PROF_ONLY")
+for name, fn, nf, seed, extra in SECTIONS:
+    if only and only not in name:
+        continue
+    for attempt in range(3):
+        try:
+            ms = timed(fn, nf, seed, extra=extra)
+            print(f"{name}: {ms:.2f} ms/frame", flush=True)
+            break
+        except Exception as e:
+            # fresh remote TPU compiles often fail at first execution
+            # (INVALID_ARGUMENT) but land in the cache -- retry
+            print(f"{name}: attempt {attempt} failed: "
+                  f"{type(e).__name__} {str(e)[:120]}", flush=True)
