@@ -125,6 +125,20 @@ def pad_stack(stack: jnp.ndarray, pad: int) -> jnp.ndarray:
                            (pad, pad + ALIGN_SLACK_X)), mode="edge")
 
 
+def _lane_unrotate(w2, rx, width: int):
+    """roll(w2, -rx, axis=1) with the amount spelled POSITIVE.
+
+    This Mosaic build lowers dynamic NEGATIVE lane rolls one vreg (128
+    lanes) short when the array is wider than 2 vregs — measured on
+    v5e: roll(w, -rx, 1) on a 384-lane window lands at -(rx + 128),
+    and a static negative amount crashes the compiler outright
+    (apply_vector_layout "padding_cst >= 0").  Positive amounts are
+    exact at every width, so un-rotate by the complement.  rx must be
+    a non-negative traced scalar < width."""
+    amt = jax.lax.rem(np.int32(width) - rx, np.int32(width))
+    return pltpu.roll(w2, amt, 1)
+
+
 def _window_geom(offsets, bs_y: int, bs_x: int, pel: int):
     """Full-pel window size and base pel-offset for a static offset set."""
     logp = pel.bit_length() - 1
@@ -401,7 +415,7 @@ def _probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
                 w2 = win_scratch[slot, ci].astype(jnp.int32)
                 w2 = pltpu.roll(w2, -ry, 0)
                 w2 = jax.lax.slice(w2, (0, 0), (rows2, w2.shape[1]))
-                w2 = pltpu.roll(w2, -rx, 1)
+                w2 = _lane_unrotate(w2, rx, w2.shape[1])
                 planes.append(w2)
             par_y = cy & pelm
             par_x = cx & pelm
@@ -726,7 +740,7 @@ def _tiled_probe_kernel(cy_ref, cx_ref, stack_ref, src_ref, *rest,
                                            cxs)].astype(jnp.int32)
                     w2 = pltpu.roll(w2, -ry, 0)
                     w2 = jax.lax.slice(w2, (0, 0), (rows2, cxs))
-                    w2 = pltpu.roll(w2, -rxr, 1)
+                    w2 = _lane_unrotate(w2, rxr, cxs)
                     planes[ci] = w2
                 sads = _eval_offsets(planes, src, offsets, classes,
                                      bs_y, bs_x, pel, min_dx, min_dy,
@@ -945,7 +959,7 @@ def _fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
             w2 = win_scratch[slot].astype(jnp.int32)
             w2 = pltpu.roll(w2, -ry, 0)
             w2 = jax.lax.slice(w2, (0, 0), (rows2, w2.shape[1]))
-            w2 = pltpu.roll(w2, -rx, 1)
+            w2 = _lane_unrotate(w2, rx, w2.shape[1])
             blks.append(jax.lax.slice(w2, (0, 0), (bs_y, bs_x)))
             nxt = t + n_buf
             if nxt < n_dma:
@@ -1078,7 +1092,7 @@ def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
                                        cxs)].astype(jnp.int32)
                 w2 = pltpu.roll(w2, -ry, 0)
                 w2 = jax.lax.slice(w2, (0, 0), (rows2, cxs))
-                w2 = pltpu.roll(w2, -rxr, 1)
+                w2 = _lane_unrotate(w2, rxr, cxs)
                 blk_t = jax.lax.slice(w2, (0, 0), (bs_y, bs_x))
                 f2 = fb_scratch[...].astype(jnp.int32)
                 f2 = pltpu.roll(f2, -(wb_y & np.int32(7)), 0)

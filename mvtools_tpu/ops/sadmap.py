@@ -232,7 +232,7 @@ def _sadmap_kernel(afy_ref, afx_ref, stack_ref, src_ref, pool_ref,
             w2 = win_scratch[np.int32(j), np.int32(s)].astype(I32)
             w2 = pltpu.roll(w2, -ry, 0)
             w2 = jax.lax.slice(w2, (0, 0), (rows_keep, wx_total))
-            w2 = pltpu.roll(w2, -rx, 1)
+            w2 = probe_ops._lane_unrotate(w2, rx, wx_total)
             planes.append(w2)
         src = src_ref[j].astype(I32)            # [bs_y, span_pad]
         pool = pool_ref[...]

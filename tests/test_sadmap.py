@@ -106,9 +106,11 @@ def test_sad_map_pallas_matches_xla(pel, bs, ov, r):
             spans[t] = sp[y0:y0 + bs, x0:x0 + span_pad]
             for b in range(tile):
                 blk = by * rlp + tx * tile + b
-                xb = min(x0 + b * pitch, src_plane.shape[1] - bs)
-                src_blocks[blk] = src_plane[y0:y0 + bs,
-                                            xb:xb + bs]
+                # padded tail blocks read the span's edge-replicated
+                # columns (same data the kernel sees), NOT a clamped
+                # in-plane block — MapProber discards their outputs
+                src_blocks[blk] = sp[y0:y0 + bs, x0 + b * pitch:
+                                     x0 + b * pitch + bs]
                 cy_blk[blk] = (af_y[t]) * pel
                 cx_blk[blk] = (af_x[t] + b * pitch) * pel
 
