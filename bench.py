@@ -269,8 +269,20 @@ def bench_config(cfg_id: int):
         raise SystemExit(f"unknown MVT_BENCH_CONFIG {cfg_id}")
 
 
+def _enable_jax_cache():
+    """Persistent compile cache for TPU runs (the XLA:CPU serializer
+    segfaults — CLAUDE.md — so CPU baselines skip it)."""
+    import jax
+    if not os.environ.get("MVT_BENCH_CPU"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/mvtools_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+
+
 def main():
     import jax
+    _enable_jax_cache()
     cfg_id = os.environ.get("MVT_BENCH_CONFIG")
     if cfg_id:
         bench_config(int(cfg_id))

@@ -1,15 +1,9 @@
-"""Golden interop vs the ACTUAL reference C code.
-
-tests/golden_harness builds the reference's scalar kernels
-(PlaneOfBlocks.cpp / GroupOfPlanes.c / MVFrame.cpp / SADFunctions.cpp,
-compiled in place from /root/reference/src with the scalar dispatch
-tier) into a standalone binary that dumps MVAnalyse's vectors blob.
-These tests run it on synthetic frames and require our exact engine +
-codec to be BYTE-IDENTICAL — an independent anchor that cannot share a
-misreading with the NumPy oracle (VERDICT r1 missing #2)."""
+"""Golden interop vs the reference C: core analyse blobs + super
+pyramid (split from test_golden.py for xdist wall-clock)."""
 
 import os
 import subprocess
+import dataclasses
 
 import numpy as np
 import pytest
@@ -21,101 +15,13 @@ from mvtools_tpu.core.codec import decode_mv_field, encode_mv_field
 from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
 from mvtools_tpu.core.types import ColorFamily, SearchType, VideoFormat
 
-HARNESS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "golden_harness")
-HARNESS = os.path.join(HARNESS_DIR, "golden_harness")
+from golden_common import (_check_config, _frames, _golden_blob,
+                           build_harness)
 
 
 @pytest.fixture(scope="module")
 def harness():
-    r = subprocess.run(["make", "-C", HARNESS_DIR], capture_output=True,
-                       text=True)
-    if r.returncode != 0 or not os.path.exists(HARNESS):
-        pytest.skip(f"golden harness build failed: {r.stderr[-500:]}")
-    return HARNESS
-
-
-def _frames(rng, w, h):
-    base = rng.integers(0, 256, (h, w)).astype(np.float32)
-    k = np.ones((3, 3), np.float32) / 9
-    from numpy.lib.stride_tricks import sliding_window_view
-    pad = np.pad(base, 1, mode="edge")
-    base = np.einsum("ijkl,kl->ij", sliding_window_view(pad, (3, 3)), k)
-    src = np.clip(base + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
-    ref = np.clip(np.roll(base, (3, -5), (0, 1))
-                  + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
-    return src, ref
-
-
-def _golden_blob(harness, tmp_path, src, ref, scfg_spec, aspec,
-                 field_shift=0, dctmode=0, divide=0, bits=8):
-    h, w = src.shape
-    sp = str(tmp_path / "src.raw")
-    rp = str(tmp_path / "ref.raw")
-    op = str(tmp_path / "vec.bin")
-    src.tofile(sp)
-    ref.tofile(rp)
-    m = aspec.meta
-    args = [harness, "analyse", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(scfg_spec.hpad), str(scfg_spec.vpad),
-            str(scfg_spec.sharp), str(scfg_spec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec.search)), str(aspec.n_search_param),
-            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
-            str(aspec.pnew), str(aspec.plevel),
-            str(int(aspec.global_)), str(aspec.pzero), str(aspec.pglobal),
-            str(aspec.badsad), str(aspec.badrange),
-            str(int(aspec.meander)), str(int(aspec.trymany)),
-            str(int(aspec.search_coarse)), sp, rp, op,
-            "0", str(field_shift), str(dctmode), str(divide), str(bits)]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=300)
-    assert r.returncode == 0, r.stderr
-    with open(op, "rb") as f:
-        return f.read()
-
-
-def _check_config(harness, tmp_path, w, h, scfg, acfg, seed,
-                  field_shift=0):
-    rng = np.random.default_rng(seed)
-    src, ref = _frames(rng, w, h)
-    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
-    sspec = scfg.validate(fmt)
-    aspec = acfg.validate(sspec)
-    blob = _golden_blob(harness, tmp_path, src, ref, sspec, aspec,
-                        field_shift=field_shift, dctmode=acfg.dct,
-                        divide=acfg.divide)
-
-    s_src = mvt.build_super([jnp.asarray(src)], sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact",
-                     field_shift=field_shift)
-
-    # field-level parity first (better failure messages than raw bytes)
-    want = decode_mv_field(blob, aspec.meta, divided=acfg.divide)
-    for lv in range(len(mv.levels)):
-        np.testing.assert_array_equal(
-            np.asarray(mv.levels[lv].x), np.asarray(want.levels[lv].x),
-            err_msg=f"level {lv} x")
-        np.testing.assert_array_equal(
-            np.asarray(mv.levels[lv].y), np.asarray(want.levels[lv].y),
-            err_msg=f"level {lv} y")
-        np.testing.assert_array_equal(
-            np.asarray(mv.levels[lv].sad), np.asarray(want.levels[lv].sad),
-            err_msg=f"level {lv} sad")
-    # byte-exact codec round-trip against C-produced bytes
-    if acfg.divide:
-        # the divided chunk's 4-byte size slot is dead space the
-        # reference never writes in the searched path (see
-        # decode_mv_field) — ours writes the real size; normalise it
-        enc = bytearray(encode_mv_field(mv))
-        off = len(enc) - (4 + mv.levels[0].x.size * 16)
-        blob = bytearray(blob)
-        blob[off:off + 4] = enc[off:off + 4]
-        assert bytes(enc) == bytes(blob)
-    else:
-        assert encode_mv_field(mv) == blob
+    return build_harness()
 
 
 def test_golden_config1_single_level_exhaustive(harness, tmp_path):
@@ -188,265 +94,6 @@ def test_golden_overlap_and_blk8(harness, tmp_path):
                   seed=2)
 
 
-@pytest.mark.parametrize("dct", [1, 2, 3, 4])
-def test_golden_dct_modes(harness, tmp_path, dct):
-    """FFTW DCT cost modes 1-4 byte-exact against the reference search
-    driven by the scalar REDFT10 stub (pobLumaSAD PlaneOfBlocks.cpp:
-    117-163 + DCTFFTW.cpp:30-54 requantisation; dct_stub.cc implements
-    the transform the reference would get from fftwf)."""
-    _check_config(harness, tmp_path, 128, 96,
-                  SuperConfig(pel=2, levels=0, chroma=False),
-                  AnalyseConfig(blksize=16, levels=0,
-                                search=SearchType.HEX2, searchparam=2,
-                                truemotion=True, chroma=False, dct=dct),
-                  seed=30 + dct)
-
-
-@pytest.mark.parametrize("dct", [5, 6, 7, 8, 9, 10])
-def test_golden_satd_modes(harness, tmp_path, dct):
-    """SATD cost modes 5-10 byte-exact against the reference's own
-    scalar Satd_C (SADFunctions.cpp:581-761, already linked into the
-    harness — no fftw involved)."""
-    _check_config(harness, tmp_path, 128, 96,
-                  SuperConfig(pel=2, levels=0, chroma=False),
-                  AnalyseConfig(blksize=16, levels=0,
-                                search=SearchType.HEX2, searchparam=2,
-                                truemotion=True, chroma=False, dct=dct),
-                  seed=40 + dct)
-
-
-@pytest.mark.parametrize("bits", [10, 16])
-def test_golden_hibit_analyse(harness, tmp_path, bits):
-    """8-16-bit sources (MVSuper.c:204-209): hi-bit SAD scaling,
-    verybigSAD, and blob contents byte-exact against the C at 10 and
-    16 bits."""
-    rng = np.random.default_rng(60 + bits)
-    w, h = 192, 128
-    peak = (1 << bits) - 1
-    base = rng.integers(0, peak + 1, (h, w)).astype(np.float32)
-    from numpy.lib.stride_tricks import sliding_window_view
-    k = np.ones((3, 3), np.float32) / 9
-    pad = np.pad(base, 1, mode="edge")
-    base = np.einsum("ijkl,kl->ij", sliding_window_view(pad, (3, 3)), k)
-    noise = rng.normal(0, peak / 64.0, (h, w))
-    src = np.clip(base + noise, 0, peak).astype("<u2")
-    ref = np.clip(np.roll(base, (3, -5), (0, 1)) + noise, 0,
-                  peak).astype("<u2")
-
-    fmt = VideoFormat(w, h, bits, ColorFamily.GRAY)
-    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
-    aspec = AnalyseConfig(blksize=16, levels=0, search=SearchType.HEX2,
-                          searchparam=2, truemotion=True,
-                          chroma=False).validate(sspec)
-    blob = _golden_blob(harness, tmp_path, src, ref, sspec, aspec,
-                        bits=bits)
-    s_src = mvt.build_super([jnp.asarray(src.astype(np.int32))], sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref.astype(np.int32))], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
-    want = decode_mv_field(blob, aspec.meta)
-    for lv in range(len(mv.levels)):
-        for key in ("x", "y", "sad"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(mv.levels[lv], key)),
-                np.asarray(getattr(want.levels[lv], key)),
-                err_msg=f"level {lv} {key}")
-    assert encode_mv_field(mv) == blob
-
-
-@pytest.mark.parametrize("divide", [1, 2])
-def test_golden_divide_modes(harness, tmp_path, divide):
-    """gopExtraDivide (GroupOfPlanes.c:206-302): the 4-children split
-    with SAD>>2, plus divide=2's median sub-vectors, byte-exact on the
-    <divided> blob level."""
-    _check_config(harness, tmp_path, 192, 128,
-                  SuperConfig(pel=2, levels=0, chroma=False),
-                  AnalyseConfig(blksize=8, levels=0,
-                                search=SearchType.HEX2, searchparam=2,
-                                truemotion=True, chroma=False,
-                                divide=divide),
-                  seed=50 + divide)
-
-
-@pytest.mark.parametrize("overlap", [0, 8])
-def test_golden_degrain1_frame_bytes(harness, tmp_path, overlap):
-    """Full pipeline golden: the C reference's Super -> MAnalyse
-    (bwd+fwd) -> MDegrain1 (useBlock/DegrainWeight/normaliseWeights/
-    Degrain_C + overlap windows + ToPixels, mvdegrainGetFrame
-    MVDegrains.cpp:85-330) vs our exact-engine pipeline, byte-for-byte
-    on the output frame."""
-    import dataclasses
-    from mvtools_tpu.degrain import DegrainConfig, degrain
-    rng = np.random.default_rng(7 + overlap)
-    w, h = 192, 128
-    src, refb = _frames(rng, w, h)
-    reff = np.clip(np.roll(refb.astype(np.int16), (-2, 4), (0, 1))
-                   + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
-    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
-    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
-    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
-                         search=SearchType.HEX2, searchparam=2,
-                         truemotion=True, chroma=False)
-    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
-    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
-    thsad, limit, thscd1, thscd2 = 400, 255, 400, 130
-
-    sp, bp, fp, op = (str(tmp_path / n) for n in
-                      ("src.raw", "refb.raw", "reff.raw", "out.raw"))
-    src.tofile(sp)
-    refb.tofile(bp)
-    reff.tofile(fp)
-    m = aspec_b.meta
-    args = [harness, "degrain1", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec_b.search)), str(aspec_b.n_search_param),
-            str(aspec_b.pel_search), str(aspec_b.lambda_),
-            str(aspec_b.lsad), str(aspec_b.pnew), str(aspec_b.plevel),
-            str(int(aspec_b.global_)), str(aspec_b.pzero),
-            str(aspec_b.pglobal), str(aspec_b.badsad),
-            str(aspec_b.badrange), str(int(aspec_b.meander)),
-            str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
-            str(thsad), str(limit), str(thscd1), str(thscd2),
-            sp, bp, fp, op]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    want = np.fromfile(op, np.uint8).reshape(h, w)
-
-    s_src = mvt.build_super([jnp.asarray(src)], sspec)
-    s_refb = mvt.build_super([jnp.asarray(refb)], sspec)
-    s_reff = mvt.build_super([jnp.asarray(reff)], sspec)
-    mv_b = mvt.analyse(s_src, s_refb, aspec_b, engine="exact")
-    mv_f = mvt.analyse(s_src, s_reff, aspec_f, engine="exact")
-    out = degrain([jnp.asarray(src)], [s_refb, s_reff], [mv_b, mv_f],
-                  aspec_b.meta,
-                  DegrainConfig(thsad=thsad, limit=limit, thscd1=thscd1,
-                                thscd2=thscd2))
-    got = np.asarray(out[0]).astype(np.uint8)
-    np.testing.assert_array_equal(got, want, err_msg=r.stdout)
-
-
-@pytest.mark.parametrize("rblk,rov,smooth", [(8, 0, 1), (8, 4, 0)])
-def test_golden_recalculate_blob(harness, tmp_path, rblk, rov, smooth):
-    """MRecalculate golden: the C reference's Super -> MAnalyse ->
-    gopRecalculateMVs (pobRecalculateMVs PlaneOfBlocks.cpp:1158-1424,
-    blk16 field refined onto a finer recalc grid) vs our
-    recalculate(engine="exact"), byte-for-byte on the vectors blob."""
-    from mvtools_tpu.recalculate import RecalculateConfig, recalculate
-    rng = np.random.default_rng(31 + rblk + rov)
-    w, h = 192, 128
-    src, ref = _frames(rng, w, h)
-    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
-    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
-    acfg = AnalyseConfig(blksize=16, levels=0, search=SearchType.HEX2,
-                         searchparam=2, truemotion=True, chroma=False)
-    aspec = acfg.validate(sspec)
-    rcfg = RecalculateConfig(blksize=rblk, overlap=rov, thsad=200,
-                             smooth=smooth, chroma=False, truemotion=True)
-    rspec = rcfg.to_analyse_config().validate(sspec)
-
-    sp, rp, op = (str(tmp_path / n) for n in
-                  ("src.raw", "ref.raw", "vec.bin"))
-    src.tofile(sp)
-    ref.tofile(rp)
-    m = aspec.meta
-    args = [harness, "recalculate", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec.search)), str(aspec.n_search_param),
-            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
-            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
-            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
-            str(aspec.badrange), str(int(aspec.meander)),
-            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
-            str(rspec.meta.blk_size_x), str(rspec.meta.blk_size_y),
-            str(rspec.meta.overlap_x), str(rspec.meta.overlap_y),
-            str(int(rspec.search)), str(rspec.n_search_param),
-            str(rspec.lambda_), str(rspec.pnew), str(rcfg.thsad),
-            str(rcfg.smooth), sp, rp, op]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    with open(op, "rb") as f:
-        blob = f.read()
-
-    s_src = mvt.build_super([jnp.asarray(src)], sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
-    mv2 = recalculate(s_src, s_ref, mv, rspec, rcfg, engine="exact")
-
-    want = decode_mv_field(blob, mv2.meta)
-    np.testing.assert_array_equal(np.asarray(mv2.levels[0].x),
-                                  np.asarray(want.levels[0].x), err_msg="x")
-    np.testing.assert_array_equal(np.asarray(mv2.levels[0].y),
-                                  np.asarray(want.levels[0].y), err_msg="y")
-    np.testing.assert_array_equal(np.asarray(mv2.levels[0].sad),
-                                  np.asarray(want.levels[0].sad),
-                                  err_msg="sad")
-    assert encode_mv_field(mv2) == blob
-
-
-@pytest.mark.parametrize("overlap,scbehavior", [(0, True), (8, False)])
-def test_golden_compensate_frame_bytes(harness, tmp_path, overlap,
-                                       scbehavior):
-    """Full pipeline golden: the C reference's Super -> MAnalyse ->
-    MCompensate (mvcompensateGetFrame MVCompensate.c:98-360: per-block
-    blit/overlap-add from the ref super with the src-super fallback when
-    SAD >= thSAD, uncovered margins from scSrc) vs our compensate(),
-    byte-for-byte.  thsad is set low enough that some blocks take the
-    occlusion fallback path."""
-    import dataclasses
-    from mvtools_tpu.compensate import CompensateConfig, compensate
-    rng = np.random.default_rng(11 + overlap)
-    w, h = 192, 128
-    src, ref = _frames(rng, w, h)
-    # occlude a region so several blocks exceed thsad and fall back
-    ref[40:72, 60:108] = 255 - ref[40:72, 60:108]
-    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
-    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
-    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
-                         search=SearchType.HEX2, searchparam=2,
-                         truemotion=True, chroma=False)
-    aspec = acfg.validate(sspec)
-    thsad, thscd1, thscd2 = 300, 400, 130
-
-    sp, rp, op = (str(tmp_path / n) for n in
-                  ("src.raw", "ref.raw", "out.raw"))
-    src.tofile(sp)
-    ref.tofile(rp)
-    m = aspec.meta
-    args = [harness, "compensate", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec.search)), str(aspec.n_search_param),
-            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
-            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
-            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
-            str(aspec.badrange), str(int(aspec.meander)),
-            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
-            str(thsad), str(thscd1), str(thscd2), str(int(scbehavior)),
-            sp, rp, op]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    want = np.fromfile(op, np.uint8).reshape(h, w)
-
-    s_src = mvt.build_super([jnp.asarray(src)], sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
-    out = compensate(s_src, s_ref, mv, aspec.meta,
-                     CompensateConfig(scbehavior=scbehavior, thsad=thsad,
-                                      thscd1=thscd1, thscd2=thscd2))
-    got = np.asarray(out[0]).astype(np.uint8)
-    np.testing.assert_array_equal(got, want, err_msg=r.stdout)
-
-
 def test_golden_super_pyramid_bytes(harness, tmp_path):
     """The C super frame (pad + reduce + refine) vs build_super, byte
     compared level by level through the PlaneSuperOffset layout."""
@@ -487,336 +134,3 @@ def test_golden_super_pyramid_bytes(harness, tmp_path):
                 arr[i], rows, err_msg=f"super level {lv} subplane {i}")
 
 
-@pytest.mark.parametrize("overlap,pel,time,ml,simple",
-                         [(0, 2, 50.0, 100.0, False),
-                          (8, 1, 25.0, 50.0, False),
-                          (0, 2, 50.0, 100.0, True),
-                          (0, 4, 25.0, 100.0, False)])
-def test_golden_flowinter_frame_bytes(harness, tmp_path, overlap, pel,
-                                      time, ml, simple):
-    """Full Flow-family golden: the C reference's Super -> MAnalyse
-    bwd/fwd -> MakeVectorSmallMasks/CheckAndPadSmallY ->
-    MakeVectorOcclusionMaskTime -> SimpleResize (14-bit tables, vector
-    limiting) -> Finest (Merge4PlanesToBig) -> FlowInter kernel
-    (MVFlowInter.c:145-378) vs our flowinter(), byte-for-byte on the
-    interpolated frame."""
-    from mvtools_tpu.flowinter import FlowInterConfig, flowinter
-    import dataclasses
-    rng = np.random.default_rng(47 + overlap + pel)
-    w, h = 192, 128
-    src, ref = _frames(rng, w, h)
-    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
-    sspec = SuperConfig(pel=pel, levels=0, chroma=False).validate(fmt)
-    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
-                         search=SearchType.HEX2, searchparam=2,
-                         truemotion=True, chroma=False)
-    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
-    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
-    time256 = int(time * 256 / 100)
-
-    sp, rp, op = (str(tmp_path / n) for n in
-                  ("src.raw", "ref.raw", "out.raw"))
-    src.tofile(sp)
-    ref.tofile(rp)
-    m = aspec_b.meta
-    args = [harness, "flowinter", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec_b.search)), str(aspec_b.n_search_param),
-            str(aspec_b.pel_search), str(aspec_b.lambda_),
-            str(aspec_b.lsad), str(aspec_b.pnew), str(aspec_b.plevel),
-            str(int(aspec_b.global_)), str(aspec_b.pzero),
-            str(aspec_b.pglobal), str(aspec_b.badsad),
-            str(aspec_b.badrange), str(int(aspec_b.meander)),
-            str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
-            str(time256), str(ml), str(int(simple)), sp, rp, op]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    want = np.fromfile(op, np.uint8).reshape(h, w)
-
-    s_src = mvt.build_super([jnp.asarray(src)], sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
-    mv_b = mvt.analyse(s_src, s_ref, aspec_b, engine="exact")
-    mv_f = mvt.analyse(s_ref, s_src, aspec_f, engine="exact")
-    cfg = FlowInterConfig(time=time, ml=ml, thscd1=16320, thscd2=255)
-    if not simple:
-        out = flowinter([jnp.asarray(src)], [jnp.asarray(ref)], s_src,
-                        s_ref, mv_b, mv_f, m, cfg)[0]
-    else:
-        # the FlowFPS kernel (FlowInterSimple, incl. its special
-        # time256==128 path): compose the same pipeline by hand
-        from mvtools_tpu.finest import finest as make_finest
-        from mvtools_tpu.flowutils import (FlowGeometry,
-                                           occlusion_mask_small,
-                                           small_vector_fields,
-                                           upsize_mask, upsize_vectors)
-        from mvtools_tpu.ops import maskfun
-        geo = FlowGeometry.from_meta(m)
-        vxb_s, vyb_s = small_vector_fields(mv_b, m, geo)
-        vxf_s, vyf_s = small_vector_fields(mv_f, m, geo)
-        mb_s = occlusion_mask_small(mv_b, m, True, ml, 256 - time256)
-        mf_s = occlusion_mask_small(mv_f, m, False, ml, time256)
-        vxb = upsize_vectors(vxb_s, vyb_s, m, geo, False)[0][:h, :w]
-        vyb = upsize_vectors(vxb_s, vyb_s, m, geo, False)[1][:h, :w]
-        vxf = upsize_vectors(vxf_s, vyf_s, m, geo, False)[0][:h, :w]
-        vyf = upsize_vectors(vxf_s, vyf_s, m, geo, False)[1][:h, :w]
-        mb = upsize_mask(mb_s, m, geo, False)[:h, :w]
-        mf = upsize_mask(mf_s, m, geo, False)[:h, :w]
-        fine_src = make_finest(s_src)
-        fine_ref = make_finest(s_ref)
-        oy, ox = m.vpadding * pel, m.hpadding * pel
-        out = maskfun.flow_inter_simple(
-            fine_ref[0].astype(jnp.int32), fine_src[0].astype(jnp.int32),
-            oy, ox, vxb, vxf, vyb, vyf, mb, mf, time256,
-            pel).astype(jnp.uint8)
-    np.testing.assert_array_equal(np.asarray(out), want,
-                                  err_msg=r.stdout)
-
-
-@pytest.mark.parametrize("overlap,pel", [(0, 2), (8, 1)])
-def test_golden_yuv_analyse_blob(harness, tmp_path, overlap, pel):
-    """Chroma motion search golden: the C reference's YUV420 Super +
-    gopSearchMVs with MOTION_USE_CHROMA_MOTION (chroma SADs via the
-    pobGetRefBlockU/V negative-bias rounding, PlaneOfBlocks.cpp:57-77)
-    vs our analyse(chroma=True, engine="exact"), byte-for-byte."""
-    rng = np.random.default_rng(61 + overlap + pel)
-    w, h = 192, 128
-    src_y, ref_y = _frames(rng, w, h)
-    src_u, ref_u = _frames(rng, w // 2, h // 2)
-    src_v, ref_v = _frames(rng, w // 2, h // 2)
-    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
-    sspec = SuperConfig(pel=pel, levels=0, chroma=True).validate(fmt)
-    aspec = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
-                          search=SearchType.HEX2, searchparam=2,
-                          truemotion=True, chroma=True).validate(sspec)
-
-    paths = {}
-    for name, arr in (("sy", src_y), ("su", src_u), ("sv", src_v),
-                      ("ry", ref_y), ("ru", ref_u), ("rv", ref_v)):
-        paths[name] = str(tmp_path / f"{name}.raw")
-        arr.tofile(paths[name])
-    op = str(tmp_path / "vec.bin")
-    m = aspec.meta
-    args = [harness, "yuvanalyse", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec.search)), str(aspec.n_search_param),
-            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
-            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
-            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
-            str(aspec.badrange), str(int(aspec.meander)),
-            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
-            paths["sy"], paths["su"], paths["sv"],
-            paths["ry"], paths["ru"], paths["rv"], op]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    with open(op, "rb") as f:
-        blob = f.read()
-
-    s_src = mvt.build_super(
-        [jnp.asarray(src_y), jnp.asarray(src_u), jnp.asarray(src_v)],
-        sspec)
-    s_ref = mvt.build_super(
-        [jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v)],
-        sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
-    want = decode_mv_field(blob, aspec.meta)
-    for lv in range(len(mv.levels)):
-        for k in ("x", "y", "sad"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(mv.levels[lv], k)),
-                np.asarray(getattr(want.levels[lv], k)),
-                err_msg=f"level {lv} {k}")
-    assert encode_mv_field(mv) == blob
-
-
-@pytest.mark.parametrize("overlap", [0, 8])
-def test_golden_yuv_degrain1_frame_bytes(harness, tmp_path, overlap):
-    """Chroma MDegrain1 golden: YUV420 supers + chroma MAnalyse bwd/fwd
-    + the reference's per-plane degrain loop (useBlock chroma halving,
-    thSADC, per-plane overlap windows, MVDegrains.cpp:179-330) vs our
-    degrain() on all three planes, byte-for-byte."""
-    from mvtools_tpu.degrain import DegrainConfig, degrain
-    import dataclasses
-    rng = np.random.default_rng(71 + overlap)
-    w, h = 192, 128
-    src_y, junk = _frames(rng, w, h)
-    refb_y, reff_y = _frames(rng, w, h)
-    src_u, refb_u = _frames(rng, w // 2, h // 2)
-    src_v, reff_u = _frames(rng, w // 2, h // 2)
-    reff_v, refb_v = _frames(rng, w // 2, h // 2)
-    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
-    sspec = SuperConfig(pel=2, levels=0, chroma=True).validate(fmt)
-    acfg = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
-                         search=SearchType.HEX2, searchparam=2,
-                         truemotion=True, chroma=True)
-    aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
-    aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
-    thsad, thsadc, thscd1, thscd2 = 300, 220, 400, 130
-
-    files = {}
-    for name, arr in (("sy", src_y), ("su", src_u), ("sv", src_v),
-                      ("by", refb_y), ("bu", refb_u), ("bv", refb_v),
-                      ("fy", reff_y), ("fu", reff_u), ("fv", reff_v)):
-        files[name] = str(tmp_path / f"{name}.raw")
-        arr.tofile(files[name])
-    outs = [str(tmp_path / f"o{p}.raw") for p in "yuv"]
-    m = aspec_b.meta
-    args = [harness, "yuvdegrain1", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec_b.search)), str(aspec_b.n_search_param),
-            str(aspec_b.pel_search), str(aspec_b.lambda_),
-            str(aspec_b.lsad), str(aspec_b.pnew), str(aspec_b.plevel),
-            str(int(aspec_b.global_)), str(aspec_b.pzero),
-            str(aspec_b.pglobal), str(aspec_b.badsad),
-            str(aspec_b.badrange), str(int(aspec_b.meander)),
-            str(int(aspec_b.trymany)), str(int(aspec_b.search_coarse)),
-            str(thsad), str(thsadc), str(thscd1), str(thscd2),
-            files["sy"], files["su"], files["sv"],
-            files["by"], files["bu"], files["bv"],
-            files["fy"], files["fu"], files["fv"]] + outs
-    r = subprocess.run(args, capture_output=True, text=True, timeout=900)
-    assert r.returncode == 0, r.stderr
-    want = [np.fromfile(outs[0], np.uint8).reshape(h, w),
-            np.fromfile(outs[1], np.uint8).reshape(h // 2, w // 2),
-            np.fromfile(outs[2], np.uint8).reshape(h // 2, w // 2)]
-
-    src = [jnp.asarray(src_y), jnp.asarray(src_u), jnp.asarray(src_v)]
-    s_src = mvt.build_super(src, sspec)
-    s_b = mvt.build_super([jnp.asarray(refb_y), jnp.asarray(refb_u),
-                           jnp.asarray(refb_v)], sspec)
-    s_f = mvt.build_super([jnp.asarray(reff_y), jnp.asarray(reff_u),
-                           jnp.asarray(reff_v)], sspec)
-    mv_b = mvt.analyse(s_src, s_b, aspec_b, engine="exact")
-    mv_f = mvt.analyse(s_src, s_f, aspec_f, engine="exact")
-    dcfg = DegrainConfig(thsad=thsad, thsadc=thsadc, thscd1=thscd1,
-                         thscd2=thscd2)
-    out = degrain(src, [s_b, s_f], [mv_b, mv_f], aspec_b.meta, dcfg)
-    for p in range(3):
-        np.testing.assert_array_equal(np.asarray(out[p]), want[p],
-                                      err_msg=f"plane {p}: {r.stdout}")
-
-
-@pytest.mark.parametrize("overlap,time", [(0, 100.0), (8, 50.0)])
-def test_golden_yuv_compensate_frame_bytes(harness, tmp_path, overlap,
-                                           time):
-    """Chroma MCompensate golden: YUV420 supers + chroma MAnalyse +
-    the reference's per-plane blit/overlap assembly with the
-    time256-scaled vectors and subsampling-shifted chroma positions
-    (MVCompensate.c:227-320) vs our compensate(), byte-for-byte."""
-    from mvtools_tpu.compensate import CompensateConfig, compensate
-    rng = np.random.default_rng(83 + overlap)
-    w, h = 192, 128
-    src_y, ref_y = _frames(rng, w, h)
-    src_u, ref_u = _frames(rng, w // 2, h // 2)
-    src_v, ref_v = _frames(rng, w // 2, h // 2)
-    fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
-    sspec = SuperConfig(pel=2, levels=0, chroma=True).validate(fmt)
-    aspec = AnalyseConfig(blksize=16, levels=0, overlap=overlap,
-                          search=SearchType.HEX2, searchparam=2,
-                          truemotion=True, chroma=True).validate(sspec)
-    thsad, thscd1, thscd2 = 700, 16320, 255
-    time256 = int(time * 256 / 100)
-
-    files = {}
-    for name, arr in (("sy", src_y), ("su", src_u), ("sv", src_v),
-                      ("ry", ref_y), ("ru", ref_u), ("rv", ref_v)):
-        files[name] = str(tmp_path / f"{name}.raw")
-        arr.tofile(files[name])
-    outs = [str(tmp_path / f"o{p}.raw") for p in "yuv"]
-    m = aspec.meta
-    args = [harness, "yuvcompensate", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec.search)), str(aspec.n_search_param),
-            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
-            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
-            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
-            str(aspec.badrange), str(int(aspec.meander)),
-            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
-            str(thsad), str(thscd1), str(thscd2), str(time256),
-            files["sy"], files["su"], files["sv"],
-            files["ry"], files["ru"], files["rv"]] + outs
-    r = subprocess.run(args, capture_output=True, text=True, timeout=900)
-    assert r.returncode == 0, r.stderr
-    want = [np.fromfile(outs[0], np.uint8).reshape(h, w),
-            np.fromfile(outs[1], np.uint8).reshape(h // 2, w // 2),
-            np.fromfile(outs[2], np.uint8).reshape(h // 2, w // 2)]
-
-    src = [jnp.asarray(src_y), jnp.asarray(src_u), jnp.asarray(src_v)]
-    s_src = mvt.build_super(src, sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref_y), jnp.asarray(ref_u),
-                             jnp.asarray(ref_v)], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
-    ccfg = CompensateConfig(thsad=thsad, thscd1=thscd1, thscd2=thscd2,
-                            time=time)
-    out = compensate(s_src, s_ref, mv, aspec.meta, ccfg)
-    for p in range(3):
-        np.testing.assert_array_equal(np.asarray(out[p]), want[p],
-                                      err_msg=f"plane {p}: {r.stdout}")
-
-
-def test_golden_usable_gate(harness, tmp_path):
-    """Scene-change / usability gate golden: the C fgopIsUsable with
-    scaleThSCD normalisation (MVAnalysisData.c:7-31, Fakery.c:52-58,
-    :144-146) vs our scale_thscd + is_usable across thresholds that
-    straddle the scene-change boundary."""
-    from mvtools_tpu.core.thscd import is_usable, scale_thscd
-    rng = np.random.default_rng(97)
-    w, h = 192, 128
-    src, _ = _frames(rng, w, h)
-    ref = rng.integers(0, 256, (h, w)).astype(np.uint8)   # unrelated
-    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
-    sspec = SuperConfig(pel=2, levels=0, chroma=False).validate(fmt)
-    aspec = AnalyseConfig(blksize=16, levels=0,
-                          search=SearchType.HEX2, searchparam=2,
-                          truemotion=True, chroma=False).validate(sspec)
-    sp, rp = str(tmp_path / "s.raw"), str(tmp_path / "r.raw")
-    src.tofile(sp)
-    ref.tofile(rp)
-    pairs = [(400, 130), (16320, 255), (100, 1), (4000, 200)]
-    m = aspec.meta
-    args = [harness, "usable", str(w), str(h), str(m.pel),
-            str(m.lv_count), str(sspec.hpad), str(sspec.vpad),
-            str(sspec.sharp), str(sspec.rfilter),
-            str(m.x_ratio_uv), str(m.y_ratio_uv),
-            str(m.blk_size_x), str(m.blk_size_y),
-            str(m.overlap_x), str(m.overlap_y),
-            str(int(aspec.search)), str(aspec.n_search_param),
-            str(aspec.pel_search), str(aspec.lambda_), str(aspec.lsad),
-            str(aspec.pnew), str(aspec.plevel), str(int(aspec.global_)),
-            str(aspec.pzero), str(aspec.pglobal), str(aspec.badsad),
-            str(aspec.badrange), str(int(aspec.meander)),
-            str(int(aspec.trymany)), str(int(aspec.search_coarse)),
-            sp, rp] + [str(v) for p_ in pairs for v in p_]
-    r = subprocess.run(args, capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    got = {}
-    for line in r.stdout.splitlines():
-        parts = line.split()
-        if parts[:1] == ["usable"]:
-            got[(int(parts[1]), int(parts[2]))] = int(parts[4])
-
-    s_src = mvt.build_super([jnp.asarray(src)], sspec)
-    s_ref = mvt.build_super([jnp.asarray(ref)], sspec)
-    mv = mvt.analyse(s_src, s_ref, aspec, engine="exact")
-    seen_states = set()
-    for t1, t2 in pairs:
-        n1, n2 = scale_thscd(t1, t2, m, "test")
-        ours = int(bool(is_usable(mv, n1, n2)))
-        assert ours == got[(t1, t2)], (t1, t2, ours, got)
-        seen_states.add(ours)
-    assert seen_states == {0, 1}, "thresholds straddle the boundary"
