@@ -130,6 +130,29 @@ def gather_blocks(plane_stack: jnp.ndarray, block_x, block_y, mv_x, mv_y,
     return flat.reshape(*block_x.shape, bsy, bsx)
 
 
+def extract_grid_blocks(plane, nby: int, nbx: int, bsy: int, bsx: int,
+                        pitch_y: int, pitch_x: int):
+    """[nby, nbx, bsy, bsx] blocks of the static degrain block grid.
+
+    The grid is fully static (FakePlaneOfBlocks fpobInit positions), so
+    the extraction is nby row slices + nbx lane slices — plain XLA data
+    movement on any backend, no per-block DMA kernel."""
+    hh, ww = plane.shape
+    padb = max(0, (nby - 1) * pitch_y + bsy - hh)
+    padr = max(0, (nbx - 1) * pitch_x + bsx - ww)
+    if padb or padr:
+        plane = jnp.pad(plane, ((0, padb), (0, padr)), mode="edge")
+    rows = jnp.stack([
+        jax.lax.slice(plane, (r * pitch_y, 0),
+                      (r * pitch_y + bsy, plane.shape[1]))
+        for r in range(nby)])                        # [nby, bsy, W]
+    cols = jnp.stack([
+        jax.lax.slice(rows, (0, 0, c * pitch_x),
+                      (nby, bsy, c * pitch_x + bsx))
+        for c in range(nbx)], axis=2)                # [nby, bsy, nbx, bsx]
+    return cols.transpose(0, 2, 1, 3)
+
+
 def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
             mv_fields: Sequence[MVField], meta: AnalysisMeta,
             cfg: DegrainConfig, usable: Optional[Sequence] = None,
@@ -213,14 +236,11 @@ def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
         hpad_p = sspec.hpad >> sub_x
         vpad_p = sspec.vpad >> sub_y
 
-        # source blocks: non-overlapped grid positions in the plane
-        sp_x = pos_x >> sub_x
-        sp_y = pos_y >> sub_y
-        zeros = jnp.zeros_like(pos_x)
-        src_stack = src32[None]
-        src_blocks = gather_blocks(src_stack, sp_x, sp_y, zeros, zeros,
-                                   p_bsy, p_bsx, 0, 0, 0,
-                                   pitch_fp=(bsx - ovx) >> sub_x)
+        # source blocks: zero-MV fetch at STATIC grid positions — pure
+        # static slices (XLA data movement); the window-DMA fetch
+        # kernel here wasted a third of degrain's DMA budget
+        src_blocks = extract_grid_blocks(src32, nby, nbx, p_bsy, p_bsx,
+                                         p_bsy - p_ovy, p_bsx - p_ovx)
 
         # weights + reference blocks per vector clip
         acc = jnp.full((nby, nbx, p_bsy, p_bsx), 128, I32)
