@@ -280,36 +280,21 @@ def _enable_jax_cache():
                           1.0)
 
 
-def main():
+def build_headline(w=1920, h=1080, batch=16, blksize=16, levels=3,
+                   radius=1, engine="lockstep", laxmap=False):
+    """The headline pipeline as a (batch_fn, make_clip) pair.
+
+    batch_fn maps a [batch + 2*radius, H, W] u8 window to [batch, H, W]
+    denoised frames; make_clip(t) builds a t-frame shifting test clip.
+    Shared by main() and tools/preflight.py so the pre-flight gate
+    compiles EXACTLY the graph the driver benches."""
     import jax
-    _enable_jax_cache()
-    cfg_id = os.environ.get("MVT_BENCH_CONFIG")
-    if cfg_id:
-        bench_config(int(cfg_id))
-        return
-    if os.environ.get("MVT_BENCH_CPU"):
-        # env var alone is ignored when a site customization pre-imports
-        # jax with another platform; the config override works until the
-        # first backend initialization
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from mvtools_tpu import analyse, analyse_batch, build_super
     from mvtools_tpu.core.config import AnalyseConfig, SuperConfig
     from mvtools_tpu.core.types import ColorFamily, VideoFormat
     from mvtools_tpu.degrain import DegrainConfig, degrain
-
-    w = int(os.environ.get("MVT_BENCH_W", 1920))
-    h = int(os.environ.get("MVT_BENCH_H", 1080))
-    batch = int(os.environ.get("MVT_BENCH_B", 16))
-    iters = int(os.environ.get("MVT_BENCH_ITERS", 3))
-    blksize = int(os.environ.get("MVT_BENCH_BLKSIZE", 16))
-    levels = int(os.environ.get("MVT_BENCH_LEVELS", 3))
-    radius = int(os.environ.get("MVT_BENCH_RADIUS", 1))
-    # MVT_BENCH_LAXMAP=1 restores the per-frame lax.map pipeline (the
-    # pre-batched-engine shape, for A/B timing)
-    laxmap = bool(os.environ.get("MVT_BENCH_LAXMAP"))
 
     fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
     scfg = SuperConfig(pel=2, levels=levels, chroma=False)
@@ -329,8 +314,6 @@ def main():
             dy, dx = (i * 2) % 16, (i * 3) % 16
             frames.append(base[dy:dy + h, dx:dx + w])
         return jnp.asarray(np.stack(frames))
-
-    engine = "exact" if os.environ.get("MVT_BENCH_CPU") else "lockstep"
 
     def pick(tree, i):
         return jax.tree_util.tree_map(lambda a: a[i], tree)
@@ -391,6 +374,38 @@ def main():
 
     batch_fn = (batch_fn_laxmap if laxmap or engine == "exact"
                 else batch_fn_vmap)
+    return batch_fn, make_clip
+
+
+def main():
+    import jax
+    _enable_jax_cache()
+    cfg_id = os.environ.get("MVT_BENCH_CONFIG")
+    if cfg_id:
+        bench_config(int(cfg_id))
+        return
+    if os.environ.get("MVT_BENCH_CPU"):
+        # env var alone is ignored when a site customization pre-imports
+        # jax with another platform; the config override works until the
+        # first backend initialization
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+
+    w = int(os.environ.get("MVT_BENCH_W", 1920))
+    h = int(os.environ.get("MVT_BENCH_H", 1080))
+    batch = int(os.environ.get("MVT_BENCH_B", 16))
+    iters = int(os.environ.get("MVT_BENCH_ITERS", 3))
+    blksize = int(os.environ.get("MVT_BENCH_BLKSIZE", 16))
+    levels = int(os.environ.get("MVT_BENCH_LEVELS", 3))
+    radius = int(os.environ.get("MVT_BENCH_RADIUS", 1))
+    # MVT_BENCH_LAXMAP=1 restores the per-frame lax.map pipeline (the
+    # pre-batched-engine shape, for A/B timing)
+    laxmap = bool(os.environ.get("MVT_BENCH_LAXMAP"))
+    engine = "exact" if os.environ.get("MVT_BENCH_CPU") else "lockstep"
+
+    batch_fn, make_clip = build_headline(
+        w=w, h=h, batch=batch, blksize=blksize, levels=levels,
+        radius=radius, engine=engine, laxmap=laxmap)
 
     step = jax.jit(batch_fn)
 

@@ -134,22 +134,53 @@ def extract_grid_blocks(plane, nby: int, nbx: int, bsy: int, bsx: int,
                         pitch_y: int, pitch_x: int):
     """[nby, nbx, bsy, bsx] blocks of the static degrain block grid.
 
-    The grid is fully static (FakePlaneOfBlocks fpobInit positions), so
-    the extraction is nby row slices + nbx lane slices — plain XLA data
-    movement on any backend, no per-block DMA kernel."""
+    The grid is fully static (FakePlaneOfBlocks fpobInit positions).
+    Extraction is reshape-based: chunk each axis at the block pitch and,
+    when blocks overlap (pitch < bs, always with bs <= 2*pitch since
+    overlap <= blksize/2), concatenate each chunk with its successor —
+    two slices + one concat per axis, no per-block stacking.  (The
+    previous per-column jax.lax.slice stack produced nbx copies with
+    size-1/16 trailing dims that tile-pad 128x under a batched vmap —
+    the round-4 bench OOM.)"""
     hh, ww = plane.shape
-    padb = max(0, (nby - 1) * pitch_y + bsy - hh)
-    padr = max(0, (nbx - 1) * pitch_x + bsx - ww)
+    ky = 0 if pitch_y >= bsy else 1
+    kx = 0 if pitch_x >= bsx else 1
+    if ky:
+        assert bsy <= 2 * pitch_y, (bsy, pitch_y)
+    if kx:
+        assert bsx <= 2 * pitch_x, (bsx, pitch_x)
+    need_h = (nby + ky) * pitch_y if ky else (nby - 1) * pitch_y + bsy
+    need_w = (nbx + kx) * pitch_x if kx else (nbx - 1) * pitch_x + bsx
+    padb = max(0, need_h - hh)
+    padr = max(0, need_w - ww)
     if padb or padr:
         plane = jnp.pad(plane, ((0, padb), (0, padr)), mode="edge")
-    rows = jnp.stack([
-        jax.lax.slice(plane, (r * pitch_y, 0),
-                      (r * pitch_y + bsy, plane.shape[1]))
-        for r in range(nby)])                        # [nby, bsy, W]
-    cols = jnp.stack([
-        jax.lax.slice(rows, (0, 0, c * pitch_x),
-                      (nby, bsy, c * pitch_x + bsx))
-        for c in range(nbx)], axis=2)                # [nby, bsy, nbx, bsx]
+    ww2 = plane.shape[1]
+    # rows: [nby, bsy, W]
+    if ky:
+        v = plane[:(nby + 1) * pitch_y].reshape(nby + 1, pitch_y, ww2)
+        rows = jnp.concatenate([v[:-1], v[1:]], axis=1)[:, :bsy]
+    else:
+        rows = plane[:(nby - 1) * pitch_y + bsy]
+        if pitch_y == bsy:
+            rows = rows.reshape(nby, bsy, ww2)
+        else:  # pitch > bs: gap between rows; pad rows out to the pitch
+            rows = jnp.pad(rows, ((0, nby * pitch_y - rows.shape[0]),
+                                  (0, 0)), mode="edge")
+            rows = rows.reshape(nby, pitch_y, ww2)[:, :bsy]
+    # cols: [nby, bsy, nbx, bsx]
+    if kx:
+        v = rows[:, :, :(nbx + 1) * pitch_x].reshape(
+            nby, bsy, nbx + 1, pitch_x)
+        cols = jnp.concatenate([v[:, :, :-1], v[:, :, 1:]],
+                               axis=3)[..., :bsx]
+    elif pitch_x == bsx:
+        cols = rows[:, :, :nbx * bsx].reshape(nby, bsy, nbx, bsx)
+    else:  # pitch > bs
+        v = jnp.pad(rows, ((0, 0), (0, 0),
+                           (0, nbx * pitch_x - rows.shape[2])),
+                    mode="edge")
+        cols = v.reshape(nby, bsy, nbx, pitch_x)[..., :bsx]
     return cols.transpose(0, 2, 1, 3)
 
 
@@ -236,14 +267,7 @@ def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
         hpad_p = sspec.hpad >> sub_x
         vpad_p = sspec.vpad >> sub_y
 
-        # source blocks: zero-MV fetch at STATIC grid positions — pure
-        # static slices (XLA data movement); the window-DMA fetch
-        # kernel here wasted a third of degrain's DMA budget
-        src_blocks = extract_grid_blocks(src32, nby, nbx, p_bsy, p_bsx,
-                                         p_bsy - p_ovy, p_bsx - p_ovx)
-
-        # weights + reference blocks per vector clip
-        acc = jnp.full((nby, nbx, p_bsy, p_bsx), 128, I32)
+        # per-ref weights + reference blocks
         wrefs = []
         ref_blocks = []
         for r in range(radius2):
@@ -262,16 +286,36 @@ def degrain(src_planes: Sequence[jnp.ndarray], super_refs: Sequence[Super],
             ref_blocks.append(rb)
 
         wsrc, wrefs = _normalise_weights(wrefs)
-        acc = acc + src_blocks * wsrc[..., None, None]
-        for r in range(radius2):
-            acc = acc + ref_blocks[r] * wrefs[r][..., None, None]
-        blocks = acc >> 8  # [nby, nbx, p_bsy, p_bsx]
 
         if ovx == 0 and ovy == 0:
-            grid = blocks.transpose(0, 2, 1, 3).reshape(nby * p_bsy,
-                                                        nbx * p_bsx)
+            # plane-level weighted sum: no block layout at all.  Source
+            # blocks ARE the grid region of the plane; per-block weights
+            # upsample by repeat; each fetched ref grid reshapes to
+            # plane layout.  Everything stays in lane-friendly [H, W]
+            # tiles (block-layout [.., bsy, bsx] temps tile-pad 8-128x
+            # under a batched vmap — the round-4 bench OOM).
+            def up(wb):
+                return jnp.repeat(jnp.repeat(wb, p_bsy, axis=0),
+                                  p_bsx, axis=1)
+
+            gh, gw = nby * p_bsy, nbx * p_bsx
+            acc = 128 + src32[:gh, :gw] * up(wsrc)
+            for r in range(radius2):
+                rg = ref_blocks[r].transpose(0, 2, 1, 3).reshape(gh, gw)
+                acc = acc + rg * up(wrefs[r])
+            grid = acc >> 8
             out = src32.at[:p_hb, :p_wb].set(grid[:p_hb, :p_wb])
         else:
+            # overlapped: block layout feeds the phase-decomposed
+            # overlap-add
+            src_blocks = extract_grid_blocks(
+                src32, nby, nbx, p_bsy, p_bsx,
+                p_bsy - p_ovy, p_bsx - p_ovx)
+            acc = jnp.full((nby, nbx, p_bsy, p_bsx), 128, I32)
+            acc = acc + src_blocks * wsrc[..., None, None]
+            for r in range(radius2):
+                acc = acc + ref_blocks[r] * wrefs[r][..., None, None]
+            blocks = acc >> 8  # [nby, nbx, p_bsy, p_bsx]
             wins = overlap_ops.overlap_windows(p_bsx, p_bsy, p_ovx, p_ovy)
             acc_plane = overlap_ops.overlap_add(
                 blocks, nbx, nby, (p_bsx, p_bsy), (p_ovx, p_ovy), wins)

@@ -38,6 +38,16 @@ typedef enum VSSampleType {
     stFloat = 1,
 } VSSampleType;
 
+/* preset ids: value layout is this harness's own (colorFamily<<16 |
+ * subSamplingW<<8 | subSamplingH<<4 | bits index); only pfYUV444P8 is
+ * consumed by the compiled sources (MVMask.c:329) */
+typedef enum VSPresetVideoFormat {
+    pfNone = 0,
+    pfGray8 = (1 << 16),
+    pfYUV420P8 = (3 << 16) | (1 << 8) | (1 << 4),
+    pfYUV444P8 = (3 << 16),
+} VSPresetVideoFormat;
+
 typedef enum VSActivationReason {
     arInitial = 0,
     arAllFramesReady = 1,
@@ -166,6 +176,10 @@ typedef struct VSAPI {
     /* filter errors */
     void (VS_CC *setFilterError)(const char *errorMessage,
                                  VSFrameContext *frameCtx);
+    /* formats */
+    int (VS_CC *getVideoFormatByID)(VSVideoFormat *format, uint32_t id,
+                                    VSCore *core);
+    const VSVideoFormat *(VS_CC *getVideoFrameFormat)(const VSFrame *f);
 } VSAPI;
 
 typedef struct VSPLUGINAPI {

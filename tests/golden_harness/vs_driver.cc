@@ -34,6 +34,8 @@ void mvflowfpsRegister(VSPlugin *, const VSPLUGINAPI *);
 void mvblockfpsRegister(VSPlugin *, const VSPLUGINAPI *);
 void mvflowblurRegister(VSPlugin *, const VSPLUGINAPI *);
 void mvfinestRegister(VSPlugin *, const VSPLUGINAPI *);
+void mvflowRegister(VSPlugin *, const VSPLUGINAPI *);
+void mvmaskRegister(VSPlugin *, const VSPLUGINAPI *);
 }
 VS_EXTERN_C void mvdepanRegister(VSPlugin *, const VSPLUGINAPI *);
 
@@ -179,6 +181,8 @@ int main(int argc, char **argv) {
     vsmini_register_plugin("com.nodame.mvtools", mvflowblurRegister);
     vsmini_register_plugin("com.nodame.mvtools", mvfinestRegister);
     vsmini_register_plugin("com.nodame.mvtools", mvdepanRegister);
+    vsmini_register_plugin("com.nodame.mvtools", mvflowRegister);
+    vsmini_register_plugin("com.nodame.mvtools", mvmaskRegister);
     const VSAPI *vsapi = vsmini_api();
 
     VSVideoFormat gray8 = { cfGray, stInteger, 8, 1, 0, 0, 1 };
@@ -465,6 +469,66 @@ int main(int argc, char **argv) {
         const VSFrame *f = vsapi->getFrame(n, out_node, NULL, 0);
         dump_frame(f, out_path);
         printf("%s n=%d\n", mode, n);
+        return 0;
+    }
+
+    if (!strcmp(mode, "flow")) {
+        /* flow <time> <flowmode> <backward> <n> <out.raw> */
+        double tim = atof(argv[a++]);
+        int fmode = atoi(argv[a++]);
+        int backward = atoi(argv[a++]);
+        int n = atoi(argv[a++]);
+        const char *out_path = argv[a++];
+
+        VSMap *args = vsapi->createMap();
+        vsapi->mapSetNode(args, "clip", clip, maReplace);
+        vsapi->mapSetNode(args, "super", super, maReplace);
+        vsapi->mapSetNode(args, "vectors", backward ? mvbw : mvfw,
+                          maReplace);
+        vsapi->mapSetFloat(args, "time", tim, maReplace);
+        vsapi->mapSetInt(args, "mode", fmode, maReplace);
+        vsapi->mapSetInt(args, "opt", 0, maReplace);
+        VSMap *ret = vsmini_invoke("com.nodame.mvtools", "Flow", args);
+        VSNode *out_node = vsapi->mapGetNode(ret, "clip", 0, NULL);
+        const VSFrame *f = vsapi->getFrame(n, out_node, NULL, 0);
+        dump_frame(f, out_path);
+        printf("flow n=%d time=%g mode=%d backward=%d\n", n, tim, fmode,
+               backward);
+        return 0;
+    }
+
+    if (!strcmp(mode, "mask")) {
+        /* mask <ml> <gamma> <kind> <time> <ysc> <n> <out.raw>
+         * gray input -> YUV444P8 output; out.raw = Y then U then V,
+         * each w*h bytes */
+        double ml = atof(argv[a++]);
+        double gamma = atof(argv[a++]);
+        int kind = atoi(argv[a++]);
+        double tim = atof(argv[a++]);
+        int ysc = atoi(argv[a++]);
+        int n = atoi(argv[a++]);
+        const char *out_path = argv[a++];
+
+        VSMap *args = vsapi->createMap();
+        vsapi->mapSetNode(args, "clip", clip, maReplace);
+        vsapi->mapSetNode(args, "vectors", mvbw, maReplace);
+        vsapi->mapSetFloat(args, "ml", ml, maReplace);
+        vsapi->mapSetFloat(args, "gamma", gamma, maReplace);
+        vsapi->mapSetInt(args, "kind", kind, maReplace);
+        vsapi->mapSetFloat(args, "time", tim, maReplace);
+        vsapi->mapSetInt(args, "ysc", ysc, maReplace);
+        vsapi->mapSetInt(args, "opt", 0, maReplace);
+        VSMap *ret = vsmini_invoke("com.nodame.mvtools", "Mask", args);
+        VSNode *out_node = vsapi->mapGetNode(ret, "clip", 0, NULL);
+        const VSFrame *f = vsapi->getFrame(n, out_node, NULL, 0);
+        std::vector<uint8_t> out((size_t)g.w * g.h * 3);
+        for (int p = 0; p < 3; p++)
+            for (int y = 0; y < g.h; y++)
+                memcpy(out.data() + ((size_t)p * g.h + y) * g.w,
+                       vsapi->getReadPtr(f, p)
+                           + y * vsapi->getStride(f, p), g.w);
+        write_file(out_path, out.data(), out.size());
+        printf("mask n=%d kind=%d ml=%g\n", n, kind, ml);
         return 0;
     }
 

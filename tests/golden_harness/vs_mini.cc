@@ -389,6 +389,22 @@ static VSMap *api_invoke(VSPlugin *plugin, const char *name,
     return out;
 }
 
+static int api_getVideoFormatByID(VSVideoFormat *format, uint32_t id,
+                                  VSCore *) {
+    format->colorFamily = (int)(id >> 16);
+    format->sampleType = stInteger;
+    format->bitsPerSample = 8;
+    format->bytesPerSample = 1;
+    format->subSamplingW = (int)((id >> 8) & 0xf);
+    format->subSamplingH = (int)((id >> 4) & 0xf);
+    format->numPlanes = format->colorFamily == cfGray ? 1 : 3;
+    return 1;
+}
+
+static const VSVideoFormat *api_getVideoFrameFormat(const VSFrame *f) {
+    return &f->fmt;
+}
+
 static void api_setFilterError(const char *errorMessage, VSFrameContext *) {
     fprintf(stderr, "vs_mini filter error: %s\n",
             errorMessage ? errorMessage : "(null)");
@@ -487,6 +503,8 @@ static const VSAPI g_api = {
     api_getPluginByID,
     api_invoke,
     api_setFilterError,
+    api_getVideoFormatByID,
+    api_getVideoFrameFormat,
 };
 
 const VSAPI *vsmini_api() { return &g_api; }
