@@ -166,9 +166,10 @@ def bench_config(cfg_id: int):
         from mvtools_tpu.models.denoise import degrain_clip
         w, h = 1920, 1080
         fmt = VideoFormat(w, h, 8, ColorFamily.YUV420)
-        # levels=3 (the headline pyramid depth): the full levels=0
-        # pyramid at 1080p currently faults in a TPU kernel at the
-        # deepest coarse levels (known issue, BASELINE.md)
+        # levels=3 (the headline pyramid depth): levels=0 runs clean on
+        # hardware since the lane-roll fix (BASELINE.md round 5) but its
+        # ~10 per-level programs take ~an hour of fresh compile — kept
+        # at 3 as a compile-budget choice
         scfg = SuperConfig(pel=2, levels=3, chroma=True)
         acfg = AnalyseConfig(blksize=16, levels=3, overlap=8,
                              truemotion=True, chroma=True)

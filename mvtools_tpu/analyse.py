@@ -130,8 +130,21 @@ def mix_dct_cost(dctmode: int, s, dct_src, dct_ref, src_luma, ref_luma,
     evaluator, the dense evaluator, and the field-level lockstep path.
     dct_src/dct_ref: [..., bh, bw] int32; s: plain SAD (unused by
     mode 1)."""
-    ds = jnp.sum(jnp.abs(dct_src - dct_ref), axis=(-2, -1)).astype(I64)
-    dc = jnp.abs(dct_src[..., 0, 0] - dct_ref[..., 0, 0]).astype(I64)
+    ds = jnp.sum(jnp.abs(dct_src - dct_ref), axis=(-2, -1))
+    dc = jnp.abs(dct_src[..., 0, 0] - dct_ref[..., 0, 0])
+    return mix_dct_cost_sums(dctmode, s, ds, dc, src_luma, ref_luma,
+                             dctweight16, bsx)
+
+
+def mix_dct_cost_sums(dctmode: int, s, ds, dc, src_luma, ref_luma,
+                      dctweight16, bsx: int):
+    """mix_dct_cost from precomputed |dct diff| sums: ds = sum|dctS-dctR|
+    over the block, dc = |dctS[0,0]-dctR[0,0]| (the dct stat-map path
+    stores these per grid offset instead of whole DCT blocks)."""
+    ds = ds.astype(I64)
+    dc = dc.astype(I64)
+    if s is not None:
+        s = s.astype(I64)
     if dctmode == 1:
         return (ds + dc * 3) * bsx // 2
     if dctmode == 2:
@@ -1419,8 +1432,7 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
         # search the per-candidate probes collapse into one map-kernel
         # pass per plane; every check() becomes a pure XLA lookup
         import os as _os
-        use_map = ((dctmode == 0 or 5 <= dctmode <= 10)
-                   and _os.environ.get("MVT_SADMAP", "1") != "0"
+        use_map = (_os.environ.get("MVT_SADMAP", "1") != "0"
                    and fe.map_supported(ctx, fe.map_radius(ctx),
                                         dctmode))
         vx_a, vy_a, vs_a = vectors_in
@@ -1441,7 +1453,8 @@ def search_level_lockstep(ctx: LevelCtx, spec, level_params, vectors_in,
                                     pred_vx=prx, pred_vy=pry,
                                     dctmode=dctmode,
                                     src_luma=src_luma_a,
-                                    dctweight16=dctweight16)
+                                    dctweight16=dctweight16,
+                                    dct_src=dct_src_blocks)
             else:
                 p_it = prober
             # the bad-SAD rescue runs once per reference block pass;
@@ -1982,8 +1995,6 @@ def batch_supported(spec: AnalyseSpec, sspec) -> bool:
     import os as _os
     from . import field_engine as fe
     if _os.environ.get("MVT_SADMAP", "1") == "0":
-        return False
-    if not (spec.dct == 0 or 5 <= spec.dct <= 10):
         return False
     for lv in range(spec.meta.lv_count):
         ctx = _level_ctx_static(spec, sspec, lv)

@@ -140,14 +140,21 @@ class FieldProber:
 
         return jax.vmap(jax.vmap(one))(cy, cx)
 
-    def _dct_cost(self, cy, cx):
+    def _dct_cost(self, cy, cx, tiled: bool = False):
         """[nblk, K] DCT modes 1-4 luma costs at padded pel coords: the
         field-level replacement for the vmapped per-block fallback —
-        fetch the candidate blocks (one window DMA each), DCT them as
+        fetch the candidate blocks (one window DMA each; `tiled` shares
+        one window DMA per block tile when the candidates of a tile
+        cluster, as the dct map build's grid rows do), DCT them as
         batched MXU matmuls, and mix per pobLumaSAD."""
         from .analyse import mix_dct_cost
         from .ops import dct as dct_ops
-        refs = self._fetch_ref_blocks(cy, cx)       # [nblk, K, bs, bs]
+        if tiled and jax.default_backend() == "tpu":
+            refs = probe_ops.fetch_blocks_tiled(
+                self.stack, cy, cx, self.bs[1], self.bs[0], self.pel,
+                row_len=self.nbx, pitch_x=self.pitch_x)
+        else:
+            refs = self._fetch_ref_blocks(cy, cx)   # [nblk, K, bs, bs]
         dct_ref = dct_ops.dct_block(refs, self.bits)
         s = (None if self.dctmode == 1
              else jnp.sum(jnp.abs(refs - self.src_blocks[:, None]),
@@ -394,11 +401,12 @@ def map_supported(ctx, r: int, dctmode: int = 0) -> bool:
     """Static predicate: MapProber usable on this level's geometry
     (block sums f32-exact, windows fit the padded stacks, chroma pitch
     integral; dct modes 5-10 additionally need the span-SATD column
-    alignment).  dct modes 1-4 are never map-served."""
+    alignment; dct modes 1-4 build a mixed-cost map from fetched blocks
+    and need 8-bit sources)."""
     from .ops import sad as sad_ops
     from .ops import sadmap
     bsx, bsy = ctx.blk_size
-    if dctmode and not 5 <= dctmode <= 10:
+    if dctmode and not 1 <= dctmode <= 10:
         return False
     if 5 <= dctmode <= 10:
         pitch_s = bsx - ctx.overlap[0]
@@ -419,6 +427,10 @@ def map_supported(ctx, r: int, dctmode: int = 0) -> bool:
         # the pel-4 hex2 walk drifts up to ~11 pel from its start, past
         # any affordable grid radius (measured: rotation parity 1.039 at
         # r=10 vs the 1.02 gate); the window probes stay in charge there
+        return False
+    if 1 <= dctmode <= 4 and ctx.bits != 8:
+        # the dct map's mixed-cost entries assume 8-bit block sums; the
+        # deep-bit TPU guard above already keeps probes in charge there
         return False
     pitch = bsx - ctx.overlap[0]
     tile = _map_tile(ctx)
@@ -474,18 +486,24 @@ class MapProber(FieldProber):
     — is a pure one-hot lookup with no DMA at all.  Candidates outside
     the grid report INVALID_SAD and lose (the dense zero trial bounds
     every block); the bad-SAD rescue keeps using a probe-based prober
-    via field_epz's probe_p argument.  Plain-SAD (dctmode 0) only."""
+    via field_epz's probe_p argument.  Serves plain SAD (dctmode 0),
+    SATD-stat maps (5-10) and mixed-cost DCT maps (1-4)."""
 
     def __init__(self, ctx, src_blocks, src_u_blocks, src_v_blocks,
                  x0_a, y0_a, xc_a, yc_a, bounds, pnew, pred_vx, pred_vy,
                  r: int = 0, dctmode: int = 0, src_luma=None,
-                 dctweight16=None):
+                 dctweight16=None, dct_src=None):
         super().__init__(ctx, src_blocks, src_u_blocks, src_v_blocks,
                          x0_a, y0_a, xc_a, yc_a, bounds, pnew,
                          dctmode=dctmode, src_luma=src_luma,
-                         dctweight16=dctweight16)
+                         dctweight16=dctweight16, dct_src=dct_src)
         self._stats = ("sad_satd_luma" if 5 <= dctmode <= 10
                        else "sad")
+        # dct 1-4: the luma map stores the MIXED cost per grid offset,
+        # computed from fetched blocks by the same _dct_cost the probe
+        # path uses — map entries stay bit-identical to probes, and the
+        # single-channel lookup path serves them unchanged
+        dct14 = 1 <= dctmode <= 4
         from .ops import sadmap
         if not r:
             r = map_radius(ctx)
@@ -598,11 +616,26 @@ class MapProber(FieldProber):
                           src_blk.astype(I32)], row_len=nbx)
             return m.reshape((nby * nbx, 2 * ry + 1, 2 * rx + 1) + ch)
 
-        self._m_l = build(self.stack, ctx.src_planes[0], s_y, s_x,
-                          af_y, af_x, r, r, bsy, bsx, pitch,
-                          self.base_y + self._av_y,
-                          self.base_x + self._av_x, src_blocks,
-                          stats=self._stats)
+        if dct14:
+            # mixed-cost dct map: one _dct_cost row per grid dy (fetch
+            # kernel windows + batched f64 DCT matmuls), stacked to the
+            # same [nblk, Dy, Dx] layout as the plain-SAD map
+            cys = self.base_y + self._av_y
+            cxs = self.base_x + self._av_x
+            dxs = jnp.arange(-r, r + 1, dtype=I32)
+            rows_m = []
+            for iy in range(-r, r + 1):
+                cx = cxs[:, None] + dxs[None, :]
+                cy = jnp.broadcast_to((cys + iy)[:, None], cx.shape)
+                rows_m.append(self._dct_cost(cy, cx,
+                                             tiled=True).astype(I32))
+            self._m_l = jnp.stack(rows_m, axis=1)
+        else:
+            self._m_l = build(self.stack, ctx.src_planes[0], s_y, s_x,
+                              af_y, af_x, r, r, bsy, bsx, pitch,
+                              self.base_y + self._av_y,
+                              self.base_x + self._av_x, src_blocks,
+                              stats=self._stats)
         if ctx.chroma:
             self._rc_y = (r >> logy) + 1
             self._rc_x = (r >> logx) + 1

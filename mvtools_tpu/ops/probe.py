@@ -1098,7 +1098,10 @@ def _tiled_fetch_kernel(cy_ref, cx_ref, stack_ref, out_ref, win_scratch,
                 f2 = pltpu.roll(f2, -(wb_y & np.int32(7)), 0)
                 f2 = jax.lax.slice(f2, (0, 0),
                                    (min(rows2, fwy), fwx))
-                f2 = pltpu.roll(f2, -(wb_x & np.int32(127)), 1)
+                # dynamic NEGATIVE lane rolls land a vreg short on >2-vreg
+                # arrays (CLAUDE.md); un-rotate with the positive
+                # complement regardless of fwx
+                f2 = _lane_unrotate(f2, wb_x & np.int32(127), fwx)
                 blk_f = jax.lax.slice(f2, (0, 0), (bs_y, bs_x))
                 blks.append(jnp.where(valid, blk_t, blk_f))
             out_ref[blk] = jnp.stack(blks)

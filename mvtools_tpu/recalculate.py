@@ -347,15 +347,15 @@ def _recalculate_field(src_super: Super, ref_super: Super, old_mv: MVField,
     sad0 = prober.plain_sad(cpx, cpy)
     refine_p = prober
     import os as _os
-    if ((spec.dct == 0 or 5 <= spec.dct <= 10)
-            and _os.environ.get("MVT_SADMAP", "1") != "0"
+    if (_os.environ.get("MVT_SADMAP", "1") != "0"
             and fe.map_supported(ctx, fe.map_radius(ctx), spec.dct)):
         refine_p = fe.MapProber(ctx, src_blocks, src_u_blocks,
                                 src_v_blocks, x0_a, y0_a, xc_a, yc_a,
                                 bounds, spec.pnew, pred_vx=cpx,
                                 pred_vy=cpy, dctmode=spec.dct,
                                 src_luma=src_luma_a,
-                                dctweight16=_i32(8))
+                                dctweight16=_i32(8),
+                                dct_src=dct_src_blocks)
     st = {"bx": cpx, "by": cpy, "bsad": sad0, "mincost": sad0,
           "dir": jnp.zeros((nblk,), I32)}
     bad = sad0 > thsad

@@ -83,6 +83,68 @@ def test_analyse_batch_chroma_matches_per_frame():
                 err_msg=f"frame {i} {k}")
 
 
+def test_analyse_batch_dct_matches_per_frame():
+    """dct=2 now rides the mixed-cost dct map (batch_supported), so
+    analyse_batch must equal per-frame analyse bit-exactly (VERDICT r4
+    next-step #6)."""
+    rng = np.random.default_rng(6)
+    w, h, nf = 128, 96, 2
+    fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+    sspec = SuperConfig(pel=2, levels=2, chroma=False).validate(fmt)
+    aspec = dataclasses.replace(
+        AnalyseConfig(blksize=16, levels=2, truemotion=True,
+                      chroma=False, dct=2), isb=True).validate(sspec)
+    from mvtools_tpu.analyse import batch_supported
+    assert batch_supported(aspec, sspec)
+    frames = _gray_clip(rng, w, h, nf + 1)
+    sups = [mvt.build_super([f], sspec) for f in frames]
+    mvs = [mvt.analyse(sups[i], sups[i + 1], aspec, engine="lockstep")
+           for i in range(nf)]
+    ss = tm(lambda *a: jnp.stack(a), *sups[:nf])
+    rs = tm(lambda *a: jnp.stack(a), *sups[1:nf + 1])
+    mb = mvt.analyse_batch(ss, rs, aspec)
+    for i in range(nf):
+        for lv in range(len(mvs[i].levels)):
+            for k in ("x", "y", "sad"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(mvs[i].levels[lv], k)),
+                    np.asarray(getattr(mb.levels[lv], k))[i],
+                    err_msg=f"frame {i} level {lv} {k}")
+
+
+def test_analyse_batch_field_shift_matches_per_frame():
+    """Per-job field_shift ([J]-array, nonzero, mixed signs) through
+    BOTH analyse_batch paths — the batched map engine and the lax.map
+    fallback (pel 4) — must equal per-frame analyse with the scalar
+    shift (ADVICE r4 #2)."""
+    rng = np.random.default_rng(5)
+    w, h, nf = 128, 96, 3
+    shifts = np.asarray([2, -2, 0], np.int32)
+    for pel in (2, 4):   # 2: batch-supported map path; 4: fallback
+        fmt = VideoFormat(w, h, 8, ColorFamily.GRAY)
+        sspec = SuperConfig(pel=pel, levels=2, chroma=False).validate(fmt)
+        aspec = dataclasses.replace(
+            AnalyseConfig(blksize=16, levels=2, truemotion=True,
+                          chroma=False), isb=True).validate(sspec)
+        frames = _gray_clip(rng, w, h, nf + 1)
+        sups = [mvt.build_super([f], sspec) for f in frames]
+        mvs = [mvt.analyse(sups[i], sups[i + 1], aspec,
+                           engine="lockstep",
+                           field_shift=jnp.asarray(shifts[i]))
+               for i in range(nf)]
+        ss = tm(lambda *a: jnp.stack(a), *sups[:nf])
+        rs = tm(lambda *a: jnp.stack(a), *sups[1:nf + 1])
+        mb = mvt.analyse_batch(ss, rs, aspec,
+                               field_shift=jnp.asarray(shifts))
+        for i in range(nf):
+            for lv in range(len(mvs[i].levels)):
+                for k in ("x", "y", "sad"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(mvs[i].levels[lv], k)),
+                        np.asarray(getattr(mb.levels[lv], k))[i],
+                        err_msg=f"pel {pel} frame {i} level {lv} {k}")
+
+
 def test_vmapped_degrain_matches_per_frame():
     """jax.vmap(degrain) over frames == per-frame degrain (the batched
     fetch path included)."""

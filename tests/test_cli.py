@@ -46,6 +46,10 @@ def _run(pipe, inp, out, *extra):
     ("flow", ("--time", "50")),
     ("mask", ("--kind", "0")),
     ("scdetect", ()),
+    ("flowinter", ("--time", "50")),
+    ("flowblur", ("--blur", "30")),
+    ("recalculate", ("--recalc-blksize", "4")),
+    ("depancompensate", ("--offset", "-1")),
 ])
 def test_cli_pipelines(clip_path, tmp_path, pipe, extra):
     out = str(tmp_path / f"{pipe}.y4m")
@@ -55,6 +59,21 @@ def test_cli_pipelines(clip_path, tmp_path, pipe, extra):
     rd.close()
     assert len(frames) >= 4
     assert frames[0][0].shape == (48, 64)
+
+
+def test_cli_finest(clip_path, tmp_path):
+    """finest emits the pel-interleaved big frame (w*pel x h*pel)."""
+    out = str(tmp_path / "finest.y4m")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "mvtools_run.py"),
+           "finest", clip_path, out, "--cpu", "--blksize", "8",
+           "--levels", "1", "--pel", "2", "--engine", "exact"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                       cwd=REPO)
+    assert p.returncode == 0, p.stderr[-3000:]
+    rd = Y4MReader(out)
+    frames = list(rd)
+    rd.close()
+    assert frames[0][0].shape == (96, 128)
 
 
 def test_cli_flowfps_retiming(clip_path, tmp_path):

@@ -80,7 +80,14 @@ CASES = [
 MOTIONS = ["translation", "rotation", "zoom", "occlusion"]
 
 
-@pytest.mark.parametrize("case", [c[0] for c in CASES])
+_FAST_PARITY_CASES = {"pel1", "pel2_chroma"}
+
+
+@pytest.mark.parametrize(
+    "case", [pytest.param(c[0], marks=()
+                          if c[0] in _FAST_PARITY_CASES
+                          else pytest.mark.slow)
+             for c in CASES])
 def test_lockstep_parity_report(case):
     """Each case runs in a fresh interpreter: inside a long pytest
     process, XLA:CPU's AOT executable loader intermittently segfaults

@@ -155,10 +155,20 @@ ENGINE_CASES = [
     ("bigmotion", False, 0, 2, 3, (18, 25), False),
     ("deep16", False, 0, 2, 2, (2, 3), True),
     ("satd5", False, 8, 2, 2, (2, 3), True),
+    ("dct2", False, 0, 2, 2, (2, 3), True),
+    ("dct3", False, 8, 2, 2, (2, 3), True),
 ]
 
+# default (fast) tier: one case per engine family; the rest compile two
+# more full engines each and run in the slow tier
+_FAST_ENGINE_CASES = {"gray", "chroma", "satd5", "dct2"}
 
-@pytest.mark.parametrize("case", [c[0] for c in ENGINE_CASES])
+
+@pytest.mark.parametrize(
+    "case", [pytest.param(c[0], marks=()
+                          if c[0] in _FAST_ENGINE_CASES
+                          else pytest.mark.slow)
+             for c in ENGINE_CASES])
 def test_map_lockstep_vs_probe_lockstep(case):
     """Each case runs in a fresh interpreter: XLA:CPU's AOT executable
     loader intermittently segfaults deserializing cache entries inside
@@ -185,7 +195,7 @@ def test_map_lockstep_vs_probe_lockstep_inner(name, chroma, overlap,
         pytest.skip("run via the subprocess wrapper")
     rng = np.random.default_rng(3 + pel + levels)
     bits = 16 if name == "deep16" else 8
-    dct = 5 if name == "satd5" else 0
+    dct = {"satd5": 5, "dct2": 2, "dct3": 3}.get(name, 0)
     fmt, src, ref = _clip_pair(rng, 256, 160, chroma, shift, bits=bits)
     sspec = SuperConfig(pel=pel, levels=levels,
                         chroma=chroma).validate(fmt)

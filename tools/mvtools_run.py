@@ -16,6 +16,11 @@ Examples:
   python tools/mvtools_run.py mask in.y4m out.y4m --kind 0
   python tools/mvtools_run.py scdetect in.y4m out.y4m
   python tools/mvtools_run.py stabilise in.y4m out.y4m --method 0
+  python tools/mvtools_run.py flowinter in.y4m out.y4m --time 50
+  python tools/mvtools_run.py flowblur in.y4m out.y4m --blur 50
+  python tools/mvtools_run.py finest in.y4m out.y4m --pel 2
+  python tools/mvtools_run.py recalculate in.y4m out.y4m --recalc-blksize 8
+  python tools/mvtools_run.py depancompensate in.y4m out.y4m --offset -1
 """
 
 import argparse
@@ -30,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 PIPELINES = ["degrain1", "degrain2", "degrain3", "degrain4", "degrain5",
              "degrain6", "compensate", "flowfps", "blockfps", "flow",
-             "mask", "scdetect", "stabilise"]
+             "mask", "scdetect", "stabilise", "flowinter", "flowblur",
+             "finest", "recalculate", "depancompensate"]
 
 
 def main():
@@ -55,6 +61,14 @@ def main():
     ap.add_argument("--kind", type=int, default=0, help="mask kind 0-5")
     ap.add_argument("--time", type=float, default=100.0)
     ap.add_argument("--ml", type=float, default=100.0)
+    ap.add_argument("--blur", type=float, default=50.0,
+                    help="flowblur blur length (0-200)")
+    ap.add_argument("--prec", type=int, default=1,
+                    help="flowblur precision (subsample of blur steps)")
+    ap.add_argument("--recalc-blksize", type=int, default=8,
+                    help="recalculate pipeline: refined block size")
+    ap.add_argument("--offset", type=float, default=-1.0,
+                    help="depancompensate time offset in frames")
     ap.add_argument("--fields", action="store_true",
                     help="input is field-separated (interlaced)")
     ap.add_argument("--tff", type=int, default=None, choices=[0, 1],
@@ -269,6 +283,150 @@ def main():
             n += 1
             if args.max_frames and n >= args.max_frames:
                 break
+    elif args.pipeline == "flowinter":
+        from mvtools_tpu.flowinter import FlowInterConfig, flowinter
+        aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+        aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+        ficfg = FlowInterConfig(time=args.time, ml=args.ml)
+
+        def fi(cur, nxt):
+            s_cur = build_super(cur, scfg, fmt)
+            s_next = build_super(nxt, scfg, fmt)
+            mv_b = analyse(s_cur, s_next, aspec_b, engine=args.engine)
+            mv_f = analyse(s_next, s_cur, aspec_f, engine=args.engine)
+            return flowinter(cur, nxt, s_cur, s_next, mv_b, mv_f,
+                             aspec_b.meta, ficfg)
+
+        step = jax.jit(fi)
+        frames_in = []
+        for f in r:
+            frames_in.append([jnp.asarray(p) for p in f])
+            if args.max_frames and len(frames_in) > args.max_frames:
+                break
+        for i in range(len(frames_in)):
+            if args.max_frames and n >= args.max_frames:
+                break
+            nxt = frames_in[min(i + 1, len(frames_in) - 1)]
+            out = (frames_in[i] if i == len(frames_in) - 1
+                   else step(frames_in[i], nxt))
+            w.write([np.asarray(o) for o in out])
+            n += 1
+    elif args.pipeline == "flowblur":
+        from mvtools_tpu.flowblur import FlowBlurConfig, flowblur
+        aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+        aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+        fbcfg = FlowBlurConfig(blur=args.blur, prec=args.prec)
+
+        def fb(prv, cur, nxt):
+            # mvbw@(n-1) = search(n-1, n), mvfw@(n+1) = search(n+1, n)
+            # (MVFlowBlur.c:152-181 with off=1)
+            s_prev = build_super(prv, scfg, fmt)
+            s_cur = build_super(cur, scfg, fmt)
+            s_next = build_super(nxt, scfg, fmt)
+            mv_b = analyse(s_prev, s_cur, aspec_b, engine=args.engine)
+            mv_f = analyse(s_next, s_cur, aspec_f, engine=args.engine)
+            return flowblur(cur, s_cur, mv_b, mv_f, aspec_b.meta, fbcfg)
+
+        step = jax.jit(fb)
+        frames_in = []
+        for f in r:
+            frames_in.append([jnp.asarray(p) for p in f])
+            if args.max_frames and len(frames_in) > args.max_frames + 1:
+                break
+        total = len(frames_in)
+        for i in range(total):
+            if args.max_frames and n >= args.max_frames:
+                break
+            out = step(frames_in[max(i - 1, 0)], frames_in[i],
+                       frames_in[min(i + 1, total - 1)])
+            w.write([np.asarray(o) for o in out])
+            n += 1
+    elif args.pipeline == "finest":
+        from mvtools_tpu.finest import finest as finest_fn
+        # output is the pel-interleaved full-resolution frame
+        # (w*pel x h*pel, Merge4PlanesToBig MVFinest.c)
+        w.close()
+        w = Y4MWriter(args.output, r.width * args.pel,
+                      r.height * args.pel, out_fps, r.sub_w, r.sub_h,
+                      r.bits, r.planes)
+
+        def fin(cur):
+            return finest_fn(build_super(cur, scfg, fmt))
+
+        step = jax.jit(fin)
+        for f in r:
+            f = [jnp.asarray(p) for p in f]
+            out = step(f)
+            w.write([np.asarray(o) for o in out])
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+    elif args.pipeline == "recalculate":
+        # MAnalyse -> MRecalculate (refined grid) -> MDegrain1: the
+        # standard two-stage vector pipeline of the reference
+        from mvtools_tpu.degrain import degrain as degrain_fn
+        from mvtools_tpu.recalculate import (RecalculateConfig,
+                                             recalculate)
+        aspec_b = dataclasses.replace(acfg, isb=True).validate(sspec)
+        aspec_f = dataclasses.replace(acfg, isb=False).validate(sspec)
+        rcfg = RecalculateConfig(blksize=args.recalc_blksize,
+                                 thsad=args.thsad // 2, chroma=chroma,
+                                 truemotion=True)
+        rspec_b = rspec_f = rcfg.to_analyse_config().validate(sspec)
+        dcfg = DegrainConfig(thsad=args.thsad)
+
+        def rec(cur, prv, nxt):
+            s_cur = build_super(cur, scfg, fmt)
+            s_prev = build_super(prv, scfg, fmt)
+            s_next = build_super(nxt, scfg, fmt)
+            mv_b = analyse(s_cur, s_next, aspec_b, engine=args.engine)
+            mv_f = analyse(s_cur, s_prev, aspec_f, engine=args.engine)
+            mv_b = recalculate(s_cur, s_next, mv_b, rspec_b, rcfg,
+                               engine=args.engine)
+            mv_f = recalculate(s_cur, s_prev, mv_f, rspec_f, rcfg,
+                               engine=args.engine)
+            return degrain_fn(cur, [s_next, s_prev], [mv_b, mv_f],
+                              rspec_b.meta, dcfg)
+
+        step = jax.jit(rec)
+        frames_in = []
+        for f in r:
+            frames_in.append([jnp.asarray(p) for p in f])
+            if args.max_frames and len(frames_in) > args.max_frames + 1:
+                break
+        total = len(frames_in)
+        for i in range(total):
+            if args.max_frames and n >= args.max_frames:
+                break
+            out = step(frames_in[i], frames_in[max(i - 1, 0)],
+                       frames_in[min(i + 1, total - 1)])
+            w.write([np.asarray(o) for o in out])
+            n += 1
+    elif args.pipeline == "depancompensate":
+        from mvtools_tpu.depan import (DepanCompensateConfig,
+                                       DepanEstimateConfig,
+                                       depan_compensate, depan_estimate)
+        frames = []
+        for f in r:
+            frames.append([jnp.asarray(p) for p in f])
+            if args.max_frames and len(frames) >= args.max_frames:
+                break
+        luma = jnp.stack([f[0] for f in frames]).astype(jnp.float32)
+        dx, dy, zoom, _ = depan_estimate(luma, DepanEstimateConfig())
+        motions = np.stack([np.asarray(dx), np.asarray(dy),
+                            np.asarray(zoom),
+                            np.zeros(len(frames), np.float32)],
+                           axis=1).astype(np.float32)
+        dccfg = DepanCompensateConfig(offset=args.offset)
+        intoff = dccfg.intoffset
+        for ndest in range(len(frames)):
+            nsrc = ndest - intoff
+            src = frames[min(max(nsrc, 0), len(frames) - 1)]
+            out = depan_compensate(src, motions, ndest, len(frames),
+                                   dccfg, sub_w=r.sub_w - 1,
+                                   sub_h=r.sub_h - 1, bits=r.bits)
+            w.write([np.asarray(o) for o in out])
+            n += 1
     elif args.pipeline == "scdetect":
         from mvtools_tpu.scdetect import SCDetectionConfig, scdetect
         aspec = dataclasses.replace(acfg, isb=False).validate(sspec)
