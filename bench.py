@@ -394,7 +394,10 @@ def main():
 
     w = int(os.environ.get("MVT_BENCH_W", 1920))
     h = int(os.environ.get("MVT_BENCH_H", 1080))
-    batch = int(os.environ.get("MVT_BENCH_B", 16))
+    # B=48 amortises the fixed per-execution Pallas cost further than
+    # 16/32 (62.5 / 65.4 / 66.8 fps measured round 5); B=64's ~13.7 GB
+    # temp footprint would crowd the 14 GB preflight budget
+    batch = int(os.environ.get("MVT_BENCH_B", 48))
     iters = int(os.environ.get("MVT_BENCH_ITERS", 3))
     blksize = int(os.environ.get("MVT_BENCH_BLKSIZE", 16))
     levels = int(os.environ.get("MVT_BENCH_LEVELS", 3))

@@ -51,7 +51,7 @@ def main():
     failures = []
 
     # --- 1. AOT compile + memory analysis of the exact bench graph ---
-    batch = int(os.environ.get("MVT_BENCH_B", 16))
+    batch = int(os.environ.get("MVT_BENCH_B", 48))  # match bench.py main()
     radius = int(os.environ.get("MVT_BENCH_RADIUS", 1))
     batch_fn, make_clip = bench.build_headline(batch=batch, radius=radius)
     clip = make_clip(batch + 2 * radius)
